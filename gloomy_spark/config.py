@@ -1,0 +1,59 @@
+"""Engine configuration.
+
+Mirrors the reference's build config surface
+(/root/reference/conf-sample.json, /root/reference/index/gconf/gconf.go:64-92)
+plus the new BM25/segment knobs mandated by BASELINE.json's north rule.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # n-gram formation (reference: gconf.go:73, index.go:30-34 MaxNgramSize=10)
+    ngram_sizes: tuple[int, ...] = (1, 2, 3)
+    max_ngram_size: int = 10
+    # HAVING count >= min_ngram_freq (reference: conf-sample.json:11,
+    # builder.go:199)
+    min_ngram_freq: int = 4
+    # stop strings RESET the n-gram window (reference: builder.go:120-122);
+    # ignore strings are dropped, window continues (builder.go:124)
+    stop_strings: tuple[str, ...] = (".", ":")
+    ignore_strings: tuple[str, ...] = ('"', ",")
+    # BM25 scoring (new capability per BASELINE.json:6)
+    bm25: BM25Config = field(default_factory=BM25Config)
+    # posting-segment block structure: docs per block; per-block max_score
+    # powers block-max WAND skipping
+    block_size: int = 128
+    # terms with df/N above this ratio get salted/str striped partitioning
+    salt_threshold_df: float = 0.05
+    # SPIMI spill-chunk analog (reference: conf-sample.json:13); in Spark this
+    # sizes Arrow batches / target rows per build partition
+    proc_chunk_size: int = 1_000_000
+    # shuffle parallelism used by the build pipeline
+    shuffle_partitions: int = 32
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=2, default=list)
+
+    @staticmethod
+    def from_json(s: str) -> "EngineConfig":
+        d = json.loads(s)
+        if "bm25" in d and isinstance(d["bm25"], dict):
+            d["bm25"] = BM25Config(**d["bm25"])
+        for k in ("ngram_sizes", "stop_strings", "ignore_strings"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return EngineConfig(**d)
+
+
+DEFAULT_CONFIG = EngineConfig()
