@@ -1,0 +1,125 @@
+"""Vectorized delta + varint (LEB128) codecs for posting blocks.
+
+Pure numpy — no per-element Python loops — so the segment-writer and the
+WAND scorer stay Arrow-speed inside pandas UDFs. This replaces the
+reference's fixed-width little-endian column files (behavioral analog of
+index/column/column.go:77-97 serialization) with the standard
+block-compressed posting layout: sorted docIDs are delta-encoded then
+varint-packed; tf / doclen arrays are varint-packed directly.
+
+Encode: per-value byte counts → exclusive-scan offsets → scatter each of
+the ≤10 varint bytes with boolean masks. Decode: terminator bytes (high
+bit clear) delimit values → np.add.reduceat over shifted 7-bit groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_VARINT_BYTES = 10
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative integer array as concatenated LEB128 varints."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed: ceil(bitlength/7), minimum 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+        nz = tmp > 0
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    for j in range(_MAX_VARINT_BYTES):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[:-1][mask] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
+    """Decode concatenated LEB128 varints → uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_term = (raw & 0x80) == 0
+    # group index per byte: 0-based id of the varint each byte belongs to
+    starts = np.concatenate(([0], np.nonzero(is_term)[0][:-1] + 1))
+    byte_pos = np.arange(raw.size, dtype=np.int64)
+    group_of = np.cumsum(np.concatenate(([0], is_term[:-1].astype(np.int64))))
+    shift = (byte_pos - starts[group_of]).astype(np.uint64) * np.uint64(7)
+    contrib = (raw.astype(np.uint64) & np.uint64(0x7F)) << shift
+    vals = np.add.reduceat(contrib, starts)
+    if count is not None and vals.size != count:
+        raise ValueError(f"varint stream decoded {vals.size} values, expected {count}")
+    return vals
+
+
+def delta_encode(sorted_values: np.ndarray) -> np.ndarray:
+    """Strictly/weakly ascending int array → first value + successive gaps."""
+    v = np.ascontiguousarray(sorted_values, dtype=np.int64)
+    if v.size == 0:
+        return v.astype(np.uint64)
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    if (out[1:] < 0).any():
+        raise ValueError("delta_encode requires ascending input")
+    return out.astype(np.uint64)
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(deltas.astype(np.uint64)).astype(np.int64)
+
+
+def encode_posting_block(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, bytes, bytes]:
+    """(docs, tfs, dls) binary payloads for one block; doc_ids ascending."""
+    return (
+        varint_encode(delta_encode(doc_ids)),
+        varint_encode(tfs),
+        varint_encode(dls),
+    )
+
+
+def decode_posting_block(
+    docs_buf: bytes, tfs_buf: bytes, dls_buf: bytes, n_docs: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    doc_ids = delta_decode(varint_decode(docs_buf, n_docs))
+    tfs = varint_decode(tfs_buf, n_docs).astype(np.int64)
+    dls = varint_decode(dls_buf, n_docs).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def encode_position_lists(position_lists: list[np.ndarray]) -> tuple[bytes, bytes]:
+    """Per-doc ascending position arrays → (counts varint, flattened
+    delta+varint positions)."""
+    counts = np.array([len(p) for p in position_lists], dtype=np.uint64)
+    if counts.sum() == 0:
+        return varint_encode(counts), b""
+    flat = np.concatenate(
+        [delta_encode(np.asarray(p, dtype=np.int64)) for p in position_lists]
+    )
+    return varint_encode(counts), varint_encode(flat)
+
+
+def decode_position_lists(
+    counts_buf: bytes, pos_buf: bytes, n_docs: int
+) -> list[np.ndarray]:
+    counts = varint_decode(counts_buf, n_docs).astype(np.int64)
+    flat = varint_decode(pos_buf, int(counts.sum()))
+    out: list[np.ndarray] = []
+    off = 0
+    for c in counts:
+        out.append(delta_decode(flat[off : off + c]))
+        off += int(c)
+    return out

@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+from gloomy_spark.codecs import (
+    decode_position_lists,
+    decode_posting_block,
+    delta_decode,
+    delta_encode,
+    encode_position_lists,
+    encode_posting_block,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_known_vectors():
+    # hand-computed LEB128
+    assert varint_encode(np.array([0])) == b"\x00"
+    assert varint_encode(np.array([1])) == b"\x01"
+    assert varint_encode(np.array([127])) == b"\x7f"
+    assert varint_encode(np.array([128])) == b"\x80\x01"
+    assert varint_encode(np.array([300])) == b"\xac\x02"
+    assert varint_encode(np.array([0, 127, 128])) == b"\x00\x7f\x80\x01"
+
+
+def test_varint_roundtrip_extremes():
+    vals = np.array([0, 1, 127, 128, 300, 2**32, 2**63 - 1, 2**64 - 1], dtype=np.uint64)
+    assert (varint_decode(varint_encode(vals), len(vals)) == vals).all()
+
+
+def test_varint_roundtrip_random():
+    rng = np.random.default_rng(42)
+    for _ in range(20):
+        n = int(rng.integers(0, 5000))
+        vals = rng.integers(0, 2**62, size=n, dtype=np.uint64)
+        assert (varint_decode(varint_encode(vals), n) == vals).all()
+
+
+def test_varint_count_mismatch_raises():
+    with pytest.raises(ValueError):
+        varint_decode(b"\x01\x02", 3)
+
+
+def test_delta_roundtrip():
+    rng = np.random.default_rng(7)
+    docs = np.unique(rng.integers(0, 10**12, size=1000))
+    assert (delta_decode(delta_encode(docs)) == docs).all()
+
+
+def test_delta_rejects_unsorted():
+    with pytest.raises(ValueError):
+        delta_encode(np.array([5, 3]))
+
+
+def test_posting_block_roundtrip():
+    rng = np.random.default_rng(11)
+    docs = np.unique(rng.integers(0, 10**9, size=500)).astype(np.int64)
+    tfs = rng.integers(1, 50, size=len(docs))
+    dls = rng.integers(1, 5000, size=len(docs))
+    bufs = encode_posting_block(docs, tfs, dls)
+    d2, t2, l2 = decode_posting_block(*bufs, len(docs))
+    assert (d2 == docs).all() and (t2 == tfs).all() and (l2 == dls).all()
+
+
+def test_position_lists_roundtrip():
+    rng = np.random.default_rng(3)
+    lists = [np.unique(rng.integers(0, 4000, size=int(rng.integers(0, 30))))
+             for _ in range(200)]
+    counts_buf, pos_buf = encode_position_lists(lists)
+    out = decode_position_lists(counts_buf, pos_buf, len(lists))
+    assert len(out) == len(lists)
+    for a, b in zip(out, lists):
+        assert (a == b).all()
+
+
+def test_compression_beats_raw_int64():
+    # dense sorted docIDs should compress far below 8 bytes/doc
+    docs = np.arange(0, 128 * 50, 3, dtype=np.int64)
+    buf, _, _ = encode_posting_block(docs, np.ones(len(docs)), np.ones(len(docs)))
+    assert len(buf) < len(docs) * 2
