@@ -36,6 +36,10 @@ class EngineConfig:
     block_size: int = 128
     # terms with df/N above this ratio get salted/str striped partitioning
     salt_threshold_df: float = 0.05
+    # fixed doc-range width for posting blocks: blocks never cross a
+    # doc_bucket boundary so the query side can co-locate all query terms'
+    # blocks for a doc range with a single groupBy(doc_bucket)
+    doc_bucket_width: int = 1 << 20
     # SPIMI spill-chunk analog (reference: conf-sample.json:13); in Spark this
     # sizes Arrow batches / target rows per build partition
     proc_chunk_size: int = 1_000_000

@@ -1,0 +1,151 @@
+"""End-to-end differential tests: build the index over the synthetic corpus,
+compare dictionary / postings / BM25 top-k against the exhaustive
+pure-Python oracle, and exercise crash-resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gloomy_spark.build import IndexBuilder
+from gloomy_spark.config import EngineConfig, BM25Config
+from gloomy_spark.corpus import generate_pages_batch, pages_df
+from gloomy_spark.oracle import OracleIndex
+from gloomy_spark.query.engine import SearchIndex
+
+N_DOCS = 300
+CFG = EngineConfig(
+    bm25=BM25Config(k1=1.2, b=0.75),
+    block_size=64,          # small blocks → many blocks → real pruning paths
+    doc_bucket_width=64,    # tiny width → multi-bucket WAND even at 300 docs
+    shuffle_partitions=8,
+)
+
+QUERIES = [
+    "the",                    # head term: hits nearly every doc
+    "of and",                 # two head terms
+    "žluťoučký",              # diacritic tail term
+    "zoba",                   # maybe-absent term
+    "the of kade nonexistentterm",   # mixed present/absent
+    "data index engine the",  # mixed head/tail
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("idx"))
+    pages = pages_df(spark, N_DOCS, partitions=6)
+    docs = pages.select("doc_id", "url", "text", "lang")
+    manifest = IndexBuilder(spark, CFG).build(
+        docs, idx_dir, url_col="url", lang_col="lang", n_buckets=3
+    )
+    local = generate_pages_batch(np.arange(N_DOCS))
+    oracle = OracleIndex(list(zip(local.doc_id, local.text)), CFG)
+    return SearchIndex(spark, idx_dir), oracle, manifest
+
+
+def test_manifest_stats(built):
+    index, oracle, manifest = built
+    assert manifest.n_docs == oracle.n_docs == N_DOCS
+    assert manifest.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+    assert manifest.n_terms == len(oracle.tf)
+    assert manifest.postings_total == sum(len(v) for v in oracle.tf.values())
+
+
+def test_dictionary_matches_oracle(built):
+    index, oracle, _ = built
+    rows = index.terms.collect()
+    assert len(rows) == len(oracle.tf)
+    for r in rows:
+        assert r["df"] == oracle.df(r["term"]), r["term"]
+        assert r["cf"] == oracle.cf(r["term"]), r["term"]
+        assert r["idf"] == pytest.approx(oracle.idf(r["term"]), rel=1e-12)
+    # dense ids 0..N-1 in lexicographic order
+    by_id = sorted(rows, key=lambda r: r["term_id"])
+    assert [r["term_id"] for r in by_id] == list(range(len(rows)))
+    assert [r["term"] for r in by_id] == sorted(r["term"] for r in rows)
+
+
+@pytest.mark.parametrize("term", ["the", "of", "žluťoučký"])
+def test_postings_match_oracle(built, term):
+    index, oracle, _ = built
+    got = sorted(
+        (r["doc_id"], r["tf"]) for r in index.postings(term).collect()
+    )
+    assert got == oracle.postings(term)
+
+
+def test_segments_globally_doc_sorted(built):
+    index, _, _ = built
+    segs = index.segments.select(
+        "term_id", "first_doc", "last_doc", "n_docs"
+    ).collect()
+    by_term: dict[int, list] = {}
+    for r in segs:
+        assert r["first_doc"] <= r["last_doc"]
+        by_term.setdefault(r["term_id"], []).append((r["first_doc"], r["last_doc"]))
+    for tid, blocks in by_term.items():
+        blocks.sort()
+        for (f1, l1), (f2, _) in zip(blocks, blocks[1:]):
+            assert l1 < f2, f"overlapping blocks for term {tid}"
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("use_blockmax", [True, False])
+def test_bm25_rank_identical(built, query, use_blockmax):
+    index, oracle, _ = built
+    expected = oracle.bm25_topk(query, k=10)
+    got = index.bm25_topk(query, k=10, use_blockmax=use_blockmax).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected], query
+    for r, (_, s) in zip(got, expected):
+        assert r["score"] == pytest.approx(s, abs=1e-9), query
+
+
+def test_term_search_exact_prefix_regex(built):
+    index, oracle, _ = built
+    r = index.search_exact("the").collect()
+    assert len(r) == 1 and r[0]["cf"] == oracle.cf("the")
+    assert index.search_exact("missingterm").count() == 0
+
+    prefix_terms = {t for t in oracle.tf if t.startswith("th")}
+    got = {r["term"] for r in index.search_prefix("th*").collect()}
+    assert got == prefix_terms
+
+    import re
+
+    pat = "th[ea]"
+    expected = {t for t in oracle.tf if re.fullmatch(pat, t)}
+    got = {r["term"] for r in index.search_regexp(pat).collect()}
+    assert got == expected
+
+
+def test_slice_pagination(built):
+    index, oracle, _ = built
+    page = index.slice(index.search_prefix("t*"), offset=2, limit=3).collect()
+    all_terms = sorted(t for t in oracle.tf if t.startswith("t"))
+    assert [r["term"] for r in page] == all_terms[2:5]
+
+
+def test_resume_after_injected_failure(spark, tmp_path):
+    idx_dir = str(tmp_path / "idx_resume")
+    docs = pages_df(spark, 80, partitions=4).select("doc_id", "text")
+    builder = IndexBuilder(spark, CFG)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        builder.build(docs, idx_dir, n_buckets=3, fail_after_bucket=0)
+    store_ledger = open(f"{idx_dir}/ledger.jsonl").read().strip().splitlines()
+    assert len(store_ledger) == 1  # only bucket 0 committed
+
+    manifest = builder.build(docs, idx_dir, n_buckets=3, resume=True)
+    index = SearchIndex(spark, idx_dir)
+    local = generate_pages_batch(np.arange(80))
+    oracle = OracleIndex(list(zip(local.doc_id, local.text)), CFG)
+    assert manifest.n_docs == 80
+    expected = oracle.bm25_topk("the data of", k=5)
+    got = index.bm25_topk("the data of", k=5).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in expected]
+    # ledger shows all 3 buckets exactly once
+    lines = open(f"{idx_dir}/ledger.jsonl").read().strip().splitlines()
+    import json
+
+    buckets = [json.loads(l)["bucket"] for l in lines]
+    assert sorted(buckets) == [0, 1, 2]
