@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — build the inverted index over the sf0.001
+  documents table and run an index-backed BM25 top-10.
+- ``queries()``: every implemented operator (SURVEY.md §2 + training-data
+  ops), callables (spark, sf_dir) → DataFrame.
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (generated alongside
+  the Spark implementations from shared constants in
+  gloomy_spark/entry_queries.py). Entries without SQL are approximate /
+  non-SQL-expressible ops (LSH ANN, crc32-derived media metadata) and get
+  the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +17,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gloomy_spark.entry_queries import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full index build (extract→postings→dict→segments) over
+    sf0.001 documents + block-max WAND BM25 top-10."""
+    from gloomy_spark.entry_queries import _index_for
+
+    si = _index_for(spark, "/root/testdata/sf0.001")
+    return si.bm25_topk("scan filter window the", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in registry().items() if sql is not None}

@@ -1,0 +1,672 @@
+"""Driver-contract query registry: Spark implementations + generated DuckDB
+oracle SQL, sharing every constant (hash coefficients, marker lists,
+regexes, BM25 params) so both sides compute the same values.
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Column names are aliased identically on both sides (the driver sorts
+columns by name and value-hashes order-insensitively). Float outputs are
+rounded identically; top-k queries order by (rounded score, doc_id) on
+BOTH sides so ulp-level sum-order differences cannot flip the selected set.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import EngineConfig
+from .functions.text import ngrams_col, tokens_col
+from .ops import dedup, simsearch, textstats, multimodal
+from .ops.hashing import M31, hash_params, md5_long, md5_long_sql, universal_hash_sql
+
+CFG = EngineConfig()
+K1, B = CFG.bm25.k1, CFG.bm25.b
+MIN_FREQ = CFG.min_ngram_freq
+
+# ---------------------------------------------------------------- shared --
+
+IGNORE_FILTER_SQL = "t <> '' AND t <> '\"' AND t <> ','"
+
+TOKS_CTE = f"""
+base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                             t -> {IGNORE_FILTER_SQL}) AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(generate_series(1, len(toks))) - 1 AS pos
+  FROM base
+)"""
+
+
+def _ngram_cte(n: int) -> str:
+    term_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+segarr AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '[.:]') AS segs FROM documents
+),
+segs AS (
+  SELECT doc_id, unnest(segs) AS seg FROM segarr
+),
+segtoks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(seg, '[,\\s;?!]+'),
+                             t -> {IGNORE_FILTER_SQL}) AS toks
+  FROM segs
+),
+ngrams AS (
+  SELECT doc_id, {term_expr} AS term
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {n - 1})) AS i
+        FROM segtoks WHERE len(toks) >= {n})
+)"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ------------------------------------------------------- index (cached) --
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    """Build (or reuse from /tmp, across processes) the segment index over
+    this sf_dir's documents table."""
+    from .build import IndexBuilder
+    from .index_store import Manifest
+    from .query.engine import SearchIndex
+
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    slug = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    idx_dir = os.path.join(tempfile.gettempdir(), f"gloomy_idx_{slug}")
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ok = False
+    try:
+        ok = Manifest.load(idx_dir).n_docs == n
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        IndexBuilder(spark, CFG).build(docs, idx_dir, n_buckets=2)
+    si = SearchIndex(spark, idx_dir)
+    _INDEX_CACHE[sf_dir] = si
+    return si
+
+
+# -------------------------------------------------------- ngram counting --
+
+
+def q_ngram_counts(n: int, min_freq: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        return (
+            docs.select(F.explode(ngrams_col(F.col("text"), n, CFG)).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= min_freq)
+        )
+
+    if n == 1:
+        sql = f"""WITH {TOKS_CTE}
+SELECT term, count(*) AS cnt FROM toks GROUP BY term HAVING count(*) >= {min_freq}"""
+    else:
+        sql = f"""WITH {_ngram_cte(n)}
+SELECT term, count(*) AS cnt FROM ngrams GROUP BY term HAVING count(*) >= {min_freq}"""
+    return fn, sql
+
+
+# -------------------------------------------------------------- BM25 SQL --
+
+
+def _bm25_sql(query_terms: list[str], k: int) -> str:
+    terms_values = ", ".join(f"('{t}')" for t in query_terms)
+    return f"""WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qt AS (SELECT DISTINCT term FROM (VALUES {terms_values}) v(term)),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN qt USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scores ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
+
+
+def q_bm25_df(query: str, k: int):
+    """Pure-DataFrame BM25 (no prebuilt index): the Catalyst-only path."""
+    from .textnorm import tokenize
+
+    qterms = list(dict.fromkeys(tokenize(query, CFG)))
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        toks = docs.select(
+            "doc_id",
+            F.size(tokens_col(F.col("text"), CFG)).alias("dl"),
+            F.explode(tokens_col(F.col("text"), CFG)).alias("term"),
+        )
+        tf = toks.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"), F.first("dl").alias("dl")
+        )
+        n_docs = docs.count()
+        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+        avgdl = toks.groupBy("doc_id").count().agg(F.avg("count")).collect()[0][0]
+        idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        scored = (
+            tf.where(F.col("term").isin(qterms))
+            .join(F.broadcast(dfreq.where(F.col("term").isin(qterms))), "term")
+            .withColumn(
+                "contrib",
+                idf * F.col("tf") * (K1 + 1.0)
+                / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl)))),
+            )
+        )
+        return (
+            scored.groupBy("doc_id")
+            .agg(F.round(F.sum("contrib"), 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    return fn, _bm25_sql(qterms, k)
+
+
+def q_bm25_wand(query: str, k: int):
+    """Index-backed BM25 through the full segment/WAND path."""
+    from .textnorm import tokenize
+
+    qterms = list(dict.fromkeys(tokenize(query, CFG)))
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        over = si.bm25_topk(query, k=k + 40, use_blockmax=True)
+        return (
+            over.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    return fn, _bm25_sql(qterms, k)
+
+
+# -------------------------------------------------- dictionary / postings --
+
+
+def q_term_dictionary():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"), CFG)).alias("term"))
+        tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+        n_docs = docs.count()
+        idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        return (
+            tf.groupBy("term")
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+            .select("term", "df", "cf", F.round(idf, 6).alias("idf"))
+        )
+
+    sql = f"""WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS df, sum(tf) AS cf,
+       round(ln(1 + ((SELECT count(*) FROM documents) - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
+FROM tf GROUP BY term"""
+    return fn, sql
+
+
+def q_doc_stats():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.size(tokens_col(F.col("text"), CFG)).alias("doclen")
+        )
+
+    sql = f"""WITH base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                             t -> {IGNORE_FILTER_SQL}) AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks) AS doclen FROM base"""
+    return fn, sql
+
+
+def q_postings_df(term: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"), CFG)).alias("term"))
+        return (
+            toks.where(F.col("term") == term)
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("tf"))
+        )
+
+    sql = f"""WITH {TOKS_CTE}
+SELECT doc_id, cast(count(*) AS int) AS tf FROM toks WHERE term = '{term}' GROUP BY doc_id"""
+    return fn, sql
+
+
+def q_postings_indexed(term: str):
+    _, sql = q_postings_df(term)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        return si.postings(term).select("doc_id", F.col("tf").cast("int").alias("tf"))
+
+    return fn, sql
+
+
+def q_term_positions(term: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir)
+        toks = docs.select(
+            "doc_id", F.posexplode(tokens_col(F.col("text"), CFG)).alias("pos", "term")
+        )
+        return toks.where(F.col("term") == term).select(
+            "doc_id", F.col("pos").cast("int").alias("pos")
+        )
+
+    sql = f"""WITH {TOKS_CTE}
+SELECT doc_id, cast(pos AS int) AS pos FROM toks WHERE term = '{term}'"""
+    return fn, sql
+
+
+def q_prefix_search(prefix: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        return si.search_prefix(prefix).select("term", "df", "cf")
+
+    sql = f"""WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS df, sum(tf) AS cf FROM tf
+WHERE term LIKE '{prefix}%' GROUP BY term"""
+    return fn, sql
+
+
+def q_regexp_search(pattern: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        return si.search_regexp(pattern).select("term", "df", "cf")
+
+    # reference semantics: unanchored search of ^pattern$ (Go MatchString /
+    # Java rlike / DuckDB regexp_matches all behave identically here)
+    sql = f"""WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS df, sum(tf) AS cf FROM tf
+WHERE regexp_matches(term, '^{pattern}$') GROUP BY term"""
+    return fn, sql
+
+
+# ------------------------------------------------------------------ dedup --
+
+
+def q_dedup_exact():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+    sql = """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1"""
+    return fn, sql
+
+
+def q_dedup_keep_first():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return dedup.dedup_keep_first(_docs(spark, sf_dir))
+
+    sql = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+    return fn, sql
+
+
+_SHINGLE_SQL_FILTER = "t <> ''"
+
+
+def _shingle_cte(k: int) -> str:
+    term_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    return f"""
+base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                             t -> {_SHINGLE_SQL_FILTER}) AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {term_expr} AS sh
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i
+        FROM base WHERE len(toks) >= {k})
+)"""
+
+
+def _minhash_sql_select(num_hashes: int) -> str:
+    params = hash_params(num_hashes)
+    base = f"({md5_long_sql('sh')} % {M31})"
+    cols = ", ".join(
+        f"min({universal_hash_sql('bm', i, params)}) AS mh_{i}" for i in range(num_hashes)
+    )
+    return base, cols
+
+
+def q_minhash_signatures(num_hashes: int, shingle_k: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return dedup.minhash_signatures(_docs(spark, sf_dir), num_hashes, shingle_k)
+
+    base, cols = _minhash_sql_select(num_hashes)
+    sql = f"""WITH {_shingle_cte(shingle_k)},
+h AS (SELECT doc_id, {base} AS bm FROM sh)
+SELECT doc_id, {cols} FROM h GROUP BY doc_id"""
+    return fn, sql
+
+
+def q_minhash_lsh_pairs(num_hashes: int, bands: int, shingle_k: int):
+    rows = num_hashes // bands
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes, bands, shingle_k)
+
+    base, cols = _minhash_sql_select(num_hashes)
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, ".format(j=j)
+        + " || '_' || ".join(f"cast(mh_{j * rows + r} AS varchar)" for r in range(rows))
+        + " AS key FROM sig"
+        for j in range(bands)
+    )
+    sql = f"""WITH {_shingle_cte(shingle_k)},
+h AS (SELECT doc_id, {base} AS bm FROM sh),
+sig AS (SELECT doc_id, {cols} FROM h GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id"""
+    return fn, sql
+
+
+def _simhash_cte() -> str:
+    h = md5_long_sql("term")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN tf ELSE -tf END) AS s{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN cast({2**j} AS bigint) ELSE 0 END"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""{TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+hb AS (SELECT doc_id, tf, {h} AS h FROM tf),
+bits AS (SELECT doc_id, {bit_sums} FROM hb GROUP BY doc_id),
+sim AS (SELECT doc_id, ({acc}) AS simhash FROM bits)"""
+
+
+def q_simhash():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return dedup.simhash(_docs(spark, sf_dir))
+
+    sql = f"WITH {_simhash_cte()}\nSELECT doc_id, simhash FROM sim"
+    return fn, sql
+
+
+def q_simhash_near_pairs(max_hamming: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming)
+
+    sql = f"""WITH {_simhash_cte()}
+SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       cast(bit_count(xor(l.simhash, r.simhash)) AS int) AS hamming
+FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}"""
+    return fn, sql
+
+
+def q_jaccard_pairs(shingle_k: int, threshold: float):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return dedup.jaccard_pairs(_docs(spark, sf_dir), shingle_k, threshold)
+
+    sql = f"""WITH {_shingle_cte(shingle_k)},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS c
+  FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= {threshold}"""
+    return fn, sql
+
+
+# ------------------------------------------------------------- similarity --
+
+
+def q_ann_cosine(query_vec_id: int, k: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return simsearch.cosine_topk(_emb(spark, sf_dir), query_vec_id, k)
+
+    sql = f"""WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> {query_vec_id}
+ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv), 4) DESC, vec_id
+LIMIT {k}"""
+    return fn, sql
+
+
+def q_ann_lsh(query_vec_id: int, k: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return simsearch.ann_lsh_topk(_emb(spark, sf_dir), query_vec_id, k)
+
+    return fn, None  # approximate by design → rows-only check
+
+
+# -------------------------------------------------------------- textstats --
+
+
+def q_language_id():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return textstats.language_id(_docs(spark, sf_dir))
+
+    en_list = ", ".join(f"'{w}'" for w in textstats.EN_MARKERS)
+    sql = f"""WITH base AS (
+  SELECT doc_id, lower(text) AS lt,
+         list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                     t -> {IGNORE_FILTER_SQL}) AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lt, '{textstats.CS_DIACRITICS}')) AS cs_hits,
+         len(regexp_extract_all(lt, '{textstats.DE_CHARS}')) AS de_hits,
+         len(list_filter(toks, t -> t IN ({en_list}))) AS en_hits,
+         len(toks) AS n_toks
+  FROM base
+)
+SELECT doc_id,
+       CASE WHEN cs_hits > 0 AND cs_hits >= de_hits THEN 'cs'
+            WHEN de_hits > cs_hits THEN 'de'
+            WHEN n_toks > 0 AND en_hits * 1.0 / n_toks >= 0.02 THEN 'en'
+            ELSE 'unknown' END AS pred_lang,
+       cast(cs_hits AS int) AS cs_hits,
+       cast(de_hits AS int) AS de_hits,
+       cast(en_hits AS int) AS en_hits
+FROM m"""
+    return fn, sql
+
+
+def q_quality_score():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return textstats.quality_score(_docs(spark, sf_dir))
+
+    sw_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    sql = f"""WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                     t -> {IGNORE_FILTER_SQL}) AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_toks,
+         length(text) AS n_chars,
+         len(list_filter(toks, t -> t IN ({sw_list}))) AS n_stop,
+         len(regexp_extract_all(text, '{textstats.PUNCT_RE}')) AS n_punct,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_tok_len
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_toks, mean_tok_len,
+         CASE WHEN n_toks > 0 THEN n_stop * 1.0 / n_toks ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio
+  FROM m
+)
+SELECT doc_id,
+       cast(n_toks AS int) AS n_tokens,
+       round(mean_tok_len, 4) AS mean_token_len,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       cast(round( (CASE WHEN n_toks >= 50 AND n_toks <= 2000 THEN 0.4 ELSE 0.0 END)
+            + (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.5 THEN 0.3 ELSE 0.0 END)
+            + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0 THEN 0.2 ELSE 0.0 END)
+            + (CASE WHEN punct_ratio <= 0.1 THEN 0.1 ELSE 0.0 END), 4) AS double) AS quality
+FROM r"""
+    return fn, sql
+
+
+def q_token_counts():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return textstats.token_counts(_docs(spark, sf_dir))
+
+    sql = f"""SELECT doc_id,
+       cast(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS int) AS ws_tokens,
+       cast(len(list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                            t -> {IGNORE_FILTER_SQL})) AS int) AS engine_tokens,
+       cast(len(regexp_extract_all(text, '{textstats.BPE_TOKEN_RE}')) AS int) AS bpe_tokens
+FROM documents"""
+    return fn, sql
+
+
+def q_fingerprint(shingle_k: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return textstats.fingerprint(_docs(spark, sf_dir), shingle_k)
+
+    sql = f"""WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                     t -> {IGNORE_FILTER_SQL}) AS toks
+  FROM documents
+),
+shingle_base AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                             t -> {_SHINGLE_SQL_FILTER}) AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, {" || ' ' || ".join(f"toks[i+{j}]" for j in range(shingle_k))} AS sh
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {shingle_k - 1})) AS i
+        FROM shingle_base WHERE len(toks) >= {shingle_k})
+),
+minsh AS (SELECT doc_id, min({md5_long_sql('sh')}) AS min_shingle_hash FROM sh GROUP BY doc_id)
+SELECT b.doc_id, md5(array_to_string(b.toks, ' ')) AS content_md5, minsh.min_shingle_hash
+FROM base b LEFT JOIN minsh ON b.doc_id = minsh.doc_id"""
+    return fn, sql
+
+
+# -------------------------------------------------------------- multimodal --
+
+
+def q_media_features():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        media = multimodal.media_table(_docs(spark, sf_dir))
+        feats = multimodal.extract_features(media)
+        return feats.select(
+            "doc_id",
+            "content_md5",
+            *[
+                F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+                for i in range(4)
+            ],
+        )
+
+    f_cols = ", ".join(
+        f"round(cast(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS bigint) / 255.0, 6) AS f{i}"
+        for i in range(4)
+    )
+    sql = f"SELECT doc_id, md5(text) AS content_md5, {f_cols} FROM documents"
+    return fn, sql
+
+
+def q_frame_sample():
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        media = multimodal.media_table(_docs(spark, sf_dir))
+        return multimodal.frame_sample(media)
+
+    return fn, None  # media_type derives from crc32 (no DuckDB equivalent)
+
+
+def q_embedding_pairs(threshold: float):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return simsearch.pairwise_above(_emb(spark, sf_dir), threshold)
+
+    return fn, None  # LSH-pruned candidate set → approximate by design
+
+
+# ---------------------------------------------------------------- registry --
+
+
+def registry() -> dict[str, tuple]:
+    """name → (spark_fn, oracle_sql | None)"""
+    return {
+        # inverted-index / n-gram store family
+        "unigram_counts": q_ngram_counts(1, MIN_FREQ),
+        "bigram_counts": q_ngram_counts(2, MIN_FREQ),
+        "trigram_counts": q_ngram_counts(3, 2),
+        "term_dictionary": q_term_dictionary(),
+        "doc_stats": q_doc_stats(),
+        "postings_exact": q_postings_df("scan"),
+        "postings_indexed": q_postings_indexed("scan"),
+        "term_positions": q_term_positions("merge"),
+        "prefix_search": q_prefix_search("s"),
+        "regexp_search": q_regexp_search("s[ct]an"),
+        "bm25_topk": q_bm25_df("scan filter window the", 10),
+        "bm25_topk_single": q_bm25_df("merge", 10),
+        "bm25_wand_topk": q_bm25_wand("scan filter window the", 10),
+        # dedup family
+        "dedup_exact_groups": q_dedup_exact(),
+        "dedup_keep_first": q_dedup_keep_first(),
+        "minhash_signatures": q_minhash_signatures(24, 2),
+        "minhash_lsh_pairs": q_minhash_lsh_pairs(24, 6, 2),
+        "simhash_values": q_simhash(),
+        "simhash_near_pairs": q_simhash_near_pairs(8),
+        "jaccard_pairs": q_jaccard_pairs(2, 0.3),
+        # similarity search
+        "ann_cosine_topk": q_ann_cosine(0, 10),
+        "ann_lsh_topk": q_ann_lsh(0, 10),
+        "embedding_near_pairs": q_embedding_pairs(0.5),
+        # text analysis
+        "language_id": q_language_id(),
+        "quality_score": q_quality_score(),
+        "token_counts": q_token_counts(),
+        "doc_fingerprint": q_fingerprint(5),
+        # multimodal plumbing
+        "media_features": q_media_features(),
+        "media_frame_sample": q_frame_sample(),
+    }

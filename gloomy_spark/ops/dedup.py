@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are built-in Spark expressions (JVM-side, codegen); the
+hashing constants are shared with the DuckDB oracle so every operator is
+value-checkable. Scale notes per operator are in the docstrings — the
+designs are the standard 100 TB patterns (shingle → minhash → band →
+bucket-join; simhash chunk blocking), tested at sf scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..textnorm import FULL_SPLIT_PATTERN
+from .hashing import M31, hash_params, md5_long, universal_hash
+
+
+def _plain_tokens(text: Column) -> Column:
+    """Dedup tokenization: lowercase + split + drop empties. (No stop-reset
+    segmentation here — shingles for near-dup detection deliberately span
+    sentence boundaries.)"""
+    return F.filter(F.split(F.lower(text), FULL_SPLIT_PATTERN), lambda t: t != "")
+
+
+def shingles_col(text: Column, k: int) -> Column:
+    """k-token shingles (space-joined sliding windows) over the whole doc."""
+    toks = _plain_tokens(text)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(toks) >= k, windows).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ----------------------------------------------------------- exact dedup --
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5(text): (text_hash, n_docs, keep_doc_id).
+    One shuffle; partial agg absorbs any hash skew. Scale: hash-groupBy on
+    a 128-bit key is embarrassingly shuffle-parallel at any corpus size."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(F.col(id_col)).alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Survivor set: the minimum doc_id per exact-text group."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(F.col(id_col)).alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+# --------------------------------------------------------------- minhash --
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 24,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{H-1}) minhash signature columns.
+
+    Plan: explode distinct shingles → one md5 per shingle → H affine
+    universal hashes (cheap int ops, not H md5s) → groupBy(doc).min per
+    hash. Min-aggregation has full map-side partial combine, so a doc's
+    shingle count never concentrates on one task."""
+    params = hash_params(num_hashes)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    base_mod = md5_long(F.col("sh")) % F.lit(M31)
+    hashed = sh.select(
+        "doc_id",
+        *[universal_hash(base_mod, i, params).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 24,
+    bands: int = 6,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b): docs sharing ≥1 identical band.
+
+    Band keys are hash-distributed, so the bucket join shuffles on
+    (band, key) — no pairwise O(n²) work; only same-bucket docs meet.
+    Giant buckets (boilerplate-identical docs) are bounded upstream by
+    exact dedup; at 100 TB add a bucket-size cap before the self-join."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle_k, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws("_", *[F.col(f"mh_{j * rows + r}") for r in range(rows)]).alias("key"),
+        )
+        for j in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- simhash --
+
+SIMHASH_BITS = 60  # stays positive in int64 for both engines
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 60-bit simhash over token md5s weighted by tf.
+    One explode + one groupBy with 60 conditional-sum aggregates — all
+    JVM-side, partial-agg friendly."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_plain_tokens(F.col(text_col))).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    h = md5_long(F.col("tok"))
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                    -F.col("tf")
+                )
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bit_sums.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Blocking: split the 60 bits into (max_hamming+1) chunks — any pair
+    within the distance must agree on ≥1 full chunk (pigeonhole), so the
+    candidate join is a chunk-equality shuffle join, never O(n²)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    sh = simhash(docs, text_col, id_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("ckey"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ckey") == F.col("r.ckey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.where(hamming <= max_hamming).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard --
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    intersection via shingle self-join (shuffle on shingle hash — head
+    shingles behave like head terms, bounded by distinct-per-doc), sizes
+    via per-doc distinct counts, jaccard = |∩| / (|A|+|B|-|∩|).
+    At 100 TB this runs AFTER minhash-LSH candidate pruning; standalone
+    form here is the exact oracle-checkable operator."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")

@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+The image/audio codecs are NOT in this container, so the decode step is
+stubbed (clearly marked), but everything Spark-level is real and tested:
+schema, Arrow batch shapes, mapInPandas signatures, partition sizing.
+Swap `_decode_stub` for a real decoder (PIL/torchaudio/ffmpeg) and the
+pipeline is production-shaped.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media binary, media_type string, width int, height int, "
+    "duration_ms int"
+)
+
+FEATURE_DIM = 8
+
+
+def media_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media table: bytes derived from the text column,
+    typed metadata derived from content hash — real binary-column plumbing
+    without real codecs."""
+    h = F.crc32(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("media"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (h % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        (h % 1920 + 1).cast("int").alias("width"),
+        (h % 1080 + 1).cast("int").alias("height"),
+        (h % 600000).cast("int").alias("duration_ms"),
+    )
+
+
+def _decode_stub(media: bytes, media_type: str) -> np.ndarray:
+    """STUB: real decoders (PIL / soundfile / av) are unavailable in this
+    container. Deterministic fake: pixels/samples derived from md5(media).
+    Raises for unknown media types exactly like a real decoder would."""
+    if media_type not in ("image/png", "audio/wav", "video/mp4"):
+        raise NotImplementedError(f"no decoder for {media_type}")
+    d = hashlib.md5(bytes(media)).digest()
+    return np.frombuffer(d, dtype=np.uint8).astype(np.float64) / 255.0
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch in, one feature
+    matrix out (batch-vectorized post-decode). Output: fixed-dim
+    array<double> + a content hash usable as an exact-dup key."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for m, t in zip(pdf["media"], pdf["media_type"]):
+                raw = _decode_stub(m, t)
+                feats.append(raw[:FEATURE_DIM].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": feats,
+                    "content_md5": [
+                        hashlib.md5(bytes(m)).hexdigest() for m in pdf["media"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        run, f"doc_id long, features array<double>, content_md5 string"
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video rows: emits (doc_id, frame_ts_ms,
+    frame_hash) per sampled timestamp — the explode/fan-out shape a real
+    frame extractor produces, with the decoder stubbed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_ts, out_hash = [], [], []
+            for _, row in pdf.iterrows():
+                if row["media_type"] != "video/mp4":
+                    continue
+                n_frames = max(1, int(row["duration_ms"]) // every_ms)
+                n_frames = min(n_frames, 32)  # cap fan-out per row
+                base = hashlib.md5(bytes(row["media"])).digest()
+                for i in range(n_frames):
+                    out_doc.append(row["doc_id"])
+                    out_ts.append(i * every_ms)
+                    out_hash.append(
+                        hashlib.md5(base + i.to_bytes(4, "little")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_ts_ms": out_ts, "frame_hash": out_hash}
+            )
+
+    return media.mapInPandas(run, "doc_id long, frame_ts_ms int, frame_hash string")

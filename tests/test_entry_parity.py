@@ -1,0 +1,95 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry against its oracle_sql() in DuckDB at sf0.01 and compare row count,
+schema (column names), and an order-insensitive value multiset."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"create view {t} as select * from '{p}'")
+    return con
+
+
+def _norm_cell(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # tolerate last-ulp noise after both sides' explicit rounding
+        return round(v, 3)
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        tuple(_norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, name):
+    fn = QUERIES[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck()
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: schema mismatch"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
+    )
+    ms_s = _multiset(spark_rows, spark_cols)
+    ms_d = _multiset(duck_rows, duck_cols)
+    if ms_s != ms_d:
+        diff_s = [r for r in ms_s if r not in ms_d][:5]
+        diff_d = [r for r in ms_d if r not in ms_s][:5]
+        pytest.fail(f"{name}: value mismatch\n spark-only: {diff_s}\n duck-only: {diff_d}")
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+@pytest.mark.spark
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"doc_id", "score"}
