@@ -1,0 +1,143 @@
+"""Benchmark harness (driver contract): runs the headline operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline groups:
+- index build over the sf documents table (docs/sec) + WAND BM25 queries;
+- a synthetic-corpus build at SPARK_GRAFT_BENCH_DOCS (default 30k) pages —
+  the north-rule throughput number on realistic web-page inputs;
+- dedup / similarity / textstats operator timings.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+bench/scaling.py (separate JVMs per cluster size) and recorded in
+BENCH/BASELINE.md; if BENCH/scaling.json exists its summary is embedded
+in the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "30000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gloomy-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from gloomy_spark.build import IndexBuilder, extracted_docs
+    from gloomy_spark.config import EngineConfig
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.entry_queries import registry
+    from gloomy_spark.query.engine import SearchIndex
+
+    cfg = EngineConfig(shuffle_partitions=max(cpus * 2, 16))
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t, 3)
+        return out
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # ---- index build over sf documents + queries ----
+    idx_dir = tempfile.mkdtemp(prefix="gloomy_bench_sfidx_")
+    manifest = timed(
+        "q_build_index_sf",
+        lambda: IndexBuilder(spark, cfg).build(docs, idx_dir, n_buckets=2, resume=False),
+    )
+    extra["sf_docs"] = manifest.n_docs
+    extra["sf_docs_per_sec"] = round(manifest.n_docs / timings["q_build_index_sf"], 1)
+    si = SearchIndex(spark, idx_dir).cache()
+
+    bm25_queries = [
+        "scan filter window the", "merge", "join hash batch",
+        "customer order line", "slow fast", "the a", "sort key value",
+        "group query row data", "spark table column", "part small",
+    ]
+
+    def run_wand():
+        for q in bm25_queries:
+            si.bm25_topk(q, 10).collect()
+
+    timed("q_bm25_wand_10q", run_wand)
+    extra["bm25_q_per_sec"] = round(len(bm25_queries) / timings["q_bm25_wand_10q"], 2)
+    timed("q_postings_decode", lambda: si.postings("scan").count())
+    timed("q_prefix_search", lambda: si.search_prefix("s").collect())
+    timed("q_regexp_search", lambda: si.search_regexp("s[ct]an").collect())
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # ---- operator suite from the driver registry ----
+    reg = registry()
+    for name in [
+        "unigram_counts", "bigram_counts", "term_dictionary", "bm25_topk",
+        "dedup_exact_groups", "minhash_lsh_pairs", "simhash_values",
+        "jaccard_pairs", "ann_cosine_topk", "language_id", "quality_score",
+        "token_counts", "doc_fingerprint", "media_features",
+    ]:
+        fn, _sql = reg[name]
+        timed(f"q_{name}", lambda fn=fn: fn(spark, sf_dir).count())
+
+    # ---- synthetic web-corpus build (north-rule headline) ----
+    corpus_dir = tempfile.mkdtemp(prefix="gloomy_bench_corpus_")
+    pages_df(spark, bench_docs, partitions=cpus * 2).write.mode("overwrite").parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    idx2 = tempfile.mkdtemp(prefix="gloomy_bench_synidx_")
+
+    def build_synth():
+        d = extracted_docs(pages)
+        return IndexBuilder(spark, cfg).build(
+            d, idx2, url_col="url", lang_col="lang", n_buckets=2, resume=False
+        )
+
+    m2 = timed("q_build_index_pages", build_synth)
+    extra["pages_docs"] = m2.n_docs
+    extra["pages_docs_per_sec"] = round(m2.n_docs / timings["q_build_index_pages"], 1)
+    extra["pages_postings"] = m2.postings_total
+    shutil.rmtree(idx2, ignore_errors=True)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            extra["scaling"] = json.load(f)
+
+    total = round(sum(timings.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "gloomy-spark index-build + BM25 + training-data ops suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""spark-submit entry: full index build over the deterministic synthetic
+pages corpus (extract → tokenize → postings → dictionary → compressed
+segments), reporting docs/sec. This is the north-rule scaling job — run it
+at two parallelism levels on identical input:
+
+    spark-submit --master local[8]  --py-files gloomy_spark.zip bench/build_job.py --docs 60000
+    spark-submit --master local[32] --py-files gloomy_spark.zip bench/build_job.py --docs 60000
+
+Prints one JSON line with build stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=60_000)
+    ap.add_argument("--partitions", type=int, default=0)
+    ap.add_argument("--n-buckets", type=int, default=2)
+    ap.add_argument("--queries", type=int, default=10, help="BM25 queries to run after build")
+    ap.add_argument("--keep", default="", help="keep index at this dir")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("gloomy-build-job").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from gloomy_spark.build import IndexBuilder, extracted_docs
+    from gloomy_spark.config import EngineConfig
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+
+    parts = args.partitions or cores * 2
+    cfg = EngineConfig(shuffle_partitions=max(cores * 2, 8))
+    out = args.keep or tempfile.mkdtemp(prefix="gloomy_bench_idx_")
+
+    # corpus generation is NOT timed (it stands in for reading the Iceberg
+    # pages table); materialize it to parquet first
+    corpus_dir = tempfile.mkdtemp(prefix="gloomy_bench_corpus_")
+    pages_df(spark, args.docs, partitions=parts).write.mode("overwrite").parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+
+    t0 = time.time()
+    docs = extracted_docs(pages)
+    manifest = IndexBuilder(spark, cfg).build(
+        docs, out, url_col="url", lang_col="lang",
+        n_buckets=args.n_buckets, resume=False,
+        input_snapshot=f"synthetic:{args.docs}",
+    )
+    build_sec = time.time() - t0
+
+    qsec = 0.0
+    if args.queries:
+        from concurrent.futures import ThreadPoolExecutor
+
+        si = SearchIndex(spark, out).cache()
+        queries = ["the data of", "scan index engine", "žluťoučký kůň",
+                   "the", "of and to in", "alpha beta gamma delta",
+                   "one two", "merge sort join", "lorem ipsum", "vox populi"]
+        qs = (queries * ((args.queries + len(queries) - 1) // len(queries)))[: args.queries]
+        # concurrent serving model: Spark's scheduler multiplexes jobs
+        tq = time.time()
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            list(ex.map(lambda q: si.bm25_topk(q, 10).collect(), qs))
+        qsec = time.time() - tq
+
+    print(json.dumps({
+        "docs": manifest.n_docs,
+        "terms": manifest.n_terms,
+        "postings": manifest.postings_total,
+        "cores": cores,
+        "build_sec": round(build_sec, 2),
+        "docs_per_sec": round(manifest.n_docs / build_sec, 1),
+        "query_sec_total": round(qsec, 2),
+        "queries_per_sec": round(args.queries / qsec, 2) if qsec else None,
+    }))
+    if not args.keep:
+        shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

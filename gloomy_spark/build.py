@@ -43,7 +43,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .codecs import encode_position_lists, encode_posting_block
+from .codecs import (
+    encode_posting_block,
+    flat_delta_positions,
+    varint_encode_with_offsets,
+)
 from .config import DEFAULT_CONFIG, EngineConfig
 from .corpus import extract_text
 from .functions.text import tokens_col
@@ -123,6 +127,8 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
     block = cfg.block_size
     bucket_width = cfg.doc_bucket_width
 
+    store_positions = cfg.store_positions
+
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
@@ -135,9 +141,18 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
             tf = pdf["tf"].to_numpy(np.int64)
             dl = pdf["dl"].to_numpy(np.int64)
             idf = pdf["idf"].to_numpy(np.float64)
-            positions = pdf["positions"].to_numpy()
             doc_bucket = doc_id // bucket_width
             score = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+
+            # positions: ONE bulk delta+varint encode per Arrow batch with
+            # per-value byte offsets, then blocks slice bytes — no
+            # per-posting Python encode calls
+            has_pos = store_positions and "positions" in pdf.columns
+            if has_pos:
+                lens, deltas = flat_delta_positions(pdf["positions"].to_numpy())
+                cnt_buf, cnt_off = varint_encode_with_offsets(lens.astype(np.uint64))
+                pos_buf, pos_off = varint_encode_with_offsets(deltas)
+                val_starts = np.concatenate(([0], np.cumsum(lens)))
 
             # group boundaries on (term_id, doc_bucket); input is sorted
             change = np.nonzero(
@@ -152,7 +167,13 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
                     be = min(bs + block, e)
                     d, t, l = doc_id[bs:be], tf[bs:be], dl[bs:be]
                     docs_buf, tfs_buf, dls_buf = encode_posting_block(d, t, l)
-                    pc_buf, pos_buf = encode_position_lists(list(positions[bs:be]))
+                    if has_pos:
+                        pc_buf = cnt_buf[cnt_off[bs] : cnt_off[be]]
+                        pos_blk = pos_buf[
+                            pos_off[val_starts[bs]] : pos_off[val_starts[be]]
+                        ]
+                    else:
+                        pc_buf, pos_blk = b"", b""
                     rows.append(
                         (
                             int(term_id[bs]),
@@ -166,7 +187,7 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
                             tfs_buf,
                             dls_buf,
                             pc_buf,
-                            pos_buf,
+                            pos_blk,
                             pid,
                         )
                     )
@@ -216,6 +237,7 @@ class IndexBuilder:
         store.ensure_dirs()
         store.save_config(cfg)
         t0 = time.time()
+        stages: dict[str, float] = {}
         shuffle_parts = cfg.shuffle_partitions
 
         base = docs.select(
@@ -225,16 +247,35 @@ class IndexBuilder:
             *( [F.col(lang_col).alias("lang")] if lang_col else [F.lit(None).cast("string").alias("lang")] ),
         )
 
+        # --------------------------------------------------------- tokens/
+        # Tokenize EXACTLY ONCE and materialize: explode(generator_expr)
+        # re-evaluates the generator expression per emitted element, so
+        # feeding posexplode an inline regex-tokenizer is O(tokens²)/doc.
+        # A stored token array costs one transient parquet but makes every
+        # downstream stage a cheap column scan. (Transient; removable after
+        # build.)
+        tokens_path = os.path.join(index_dir, "tokens")
+        if not (resume and os.path.exists(os.path.join(tokens_path, "_SUCCESS"))):
+            (
+                base.withColumn("tokens", tokens_col(F.col("text"), cfg))
+                .select(
+                    "doc_id", "url", "lang", "tokens",
+                    F.size("tokens").alias("doclen"),
+                )
+                .write.mode("overwrite")
+                .parquet(tokens_path)
+            )
+        tokens_df = self.spark.read.parquet(tokens_path)
+        stages["tokenize"] = round(time.time() - t0, 2)
+
         # ---------------------------------------------------------- docs/
         if not (resume and store.stage_done("docs")):
             (
-                base.select(
-                    "doc_id", "url", "lang",
-                    F.size(tokens_col(F.col("text"), cfg)).alias("doclen"),
-                )
+                tokens_df.select("doc_id", "url", "lang", "doclen")
                 .write.mode("overwrite")
                 .parquet(store.docs_path)
             )
+        stages["docs"] = round(time.time() - t0 - sum(stages.values()), 2)
         docs_stats = self.spark.read.parquet(store.docs_path)
         agg = docs_stats.agg(
             F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
@@ -244,21 +285,24 @@ class IndexBuilder:
         # -------------------------------------------------- postings_raw/
         postings_path = os.path.join(index_dir, "postings_raw")
         if not (resume and os.path.exists(os.path.join(postings_path, "_SUCCESS"))):
-            toks = base.select(
+            toks = tokens_df.select(
                 "doc_id",
-                F.size(tokens_col(F.col("text"), cfg)).alias("dl"),
-                F.posexplode(tokens_col(F.col("text"), cfg)).alias("pos", "term"),
+                F.col("doclen").alias("dl"),
+                F.posexplode("tokens").alias("pos", "term"),
             )
+            aggs = [
+                F.count("*").cast("int").alias("tf"),
+                F.first("dl").alias("dl"),
+            ]
+            if cfg.store_positions:
+                aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
             (
                 toks.groupBy("term", "doc_id")
-                .agg(
-                    F.count("*").cast("int").alias("tf"),
-                    F.first("dl").alias("dl"),
-                    F.sort_array(F.collect_list("pos")).alias("positions"),
-                )
+                .agg(*aggs)
                 .write.mode("overwrite")
                 .parquet(postings_path)
             )
+        stages["postings"] = round(time.time() - t0 - sum(stages.values()), 2)
         postings = self.spark.read.parquet(postings_path)
 
         # ---------------------------------------------------------- terms/
@@ -276,6 +320,7 @@ class IndexBuilder:
             )
         terms = self.spark.read.parquet(store.terms_path)
         n_terms = terms.count()
+        stages["terms"] = round(time.time() - t0 - sum(stages.values()), 2)
 
         # ------------------------------------------------ segments/bucket=K
         width = max(1, math.ceil(n_terms / n_buckets))
@@ -293,8 +338,9 @@ class IndexBuilder:
             bucket_terms = terms.where(
                 (F.col("term_id") >= lo) & (F.col("term_id") < hi)
             ).select("term", "term_id", "idf")
+            pos_cols = ["positions"] if "positions" in postings.columns else []
             joined = postings.join(F.broadcast(bucket_terms), "term").select(
-                "term_id", "doc_id", "tf", "dl", "idf", "positions"
+                "term_id", "doc_id", "tf", "dl", "idf", *pos_cols
             )
             segs = (
                 joined.repartitionByRange(shuffle_parts, "term_id", "doc_id")
@@ -334,6 +380,7 @@ class IndexBuilder:
             if fail_after_bucket is not None and k >= fail_after_bucket:
                 raise RuntimeError(f"injected failure after bucket {k}")
 
+        stages["segments"] = round(time.time() - t0 - sum(stages.values()), 2)
         build_seconds = time.time() - t0
         manifest = Manifest(
             n_docs=n_docs,
@@ -344,6 +391,7 @@ class IndexBuilder:
             docs_per_sec=n_docs / build_seconds if build_seconds > 0 else 0.0,
             postings_total=total_postings,
             input_snapshot=input_snapshot,
+            stages=stages,
         )
         manifest.save(index_dir)
         return manifest

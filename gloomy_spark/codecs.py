@@ -19,6 +19,33 @@ import numpy as np
 _MAX_VARINT_BYTES = 10
 
 
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode + per-value byte offsets (len n+1): offsets[i]:offsets[i+1] is
+    value i's byte span — lets callers slice a bulk encoding into blocks
+    without re-encoding."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(1, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    nz = tmp > 0
+    while nz.any():
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+        nz = tmp > 0
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    for j in range(_MAX_VARINT_BYTES):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[offsets[:-1][mask] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes(), offsets
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """Encode a non-negative integer array as concatenated LEB128 varints."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
@@ -100,16 +127,31 @@ def decode_posting_block(
     return doc_ids, tfs, dls
 
 
+def flat_delta_positions(position_lists) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized bulk form of per-list delta encoding: list of ascending
+    arrays → (lens, flattened deltas with an absolute first value per
+    list). One concatenate + one subtract — no per-list Python encode."""
+    n = len(position_lists)
+    lens = np.fromiter((len(p) for p in position_lists), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return lens, np.zeros(0, dtype=np.uint64)
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in position_lists])
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    nz = starts[lens > 0]
+    deltas[nz] = flat[nz]
+    if (deltas < 0).any():
+        raise ValueError("position lists must be ascending")
+    return lens, deltas.astype(np.uint64)
+
+
 def encode_position_lists(position_lists: list[np.ndarray]) -> tuple[bytes, bytes]:
     """Per-doc ascending position arrays → (counts varint, flattened
     delta+varint positions)."""
-    counts = np.array([len(p) for p in position_lists], dtype=np.uint64)
-    if counts.sum() == 0:
-        return varint_encode(counts), b""
-    flat = np.concatenate(
-        [delta_encode(np.asarray(p, dtype=np.int64)) for p in position_lists]
-    )
-    return varint_encode(counts), varint_encode(flat)
+    lens, deltas = flat_delta_positions(position_lists)
+    return varint_encode(lens.astype(np.uint64)), varint_encode(deltas)
 
 
 def decode_position_lists(

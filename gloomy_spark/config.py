@@ -36,6 +36,9 @@ class EngineConfig:
     block_size: int = 128
     # terms with df/N above this ratio get salted/str striped partitioning
     salt_threshold_df: float = 0.05
+    # store per-posting position lists in segments (needed for phrase
+    # queries; BM25/WAND does not read them)
+    store_positions: bool = True
     # fixed doc-range width for posting blocks: blocks never cross a
     # doc_bucket boundary so the query side can co-locate all query terms'
     # blocks for a doc range with a single groupBy(doc_bucket)

@@ -57,6 +57,7 @@ class Manifest:
     docs_per_sec: float = 0.0
     postings_total: int = 0
     input_snapshot: str = ""
+    stages: dict[str, float] = field(default_factory=dict)
 
     def save(self, index_dir: str) -> None:
         with open(os.path.join(index_dir, "manifest.json"), "w") as f:

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codecs import decode_posting_block
+from ..codecs import decode_position_lists, decode_posting_block
 from ..config import EngineConfig
 from ..index_store import IndexStore, Manifest
 from ..textnorm import tokenize
@@ -258,6 +258,66 @@ class SearchIndex:
                     )
 
         return segs.mapInPandas(decode, "doc_id long, tf int, dl int")
+
+    def postings_positions(self, term: str) -> DataFrame:
+        """Posting list with decoded positions: (doc_id, tf, positions)."""
+        tid_rows = self.search_exact(term).select("term_id").collect()
+        if not tid_rows:
+            return self.spark.createDataFrame(
+                [], "doc_id long, tf int, positions array<int>"
+            )
+        tid = tid_rows[0]["term_id"]
+        segs = self.segments.where(F.col("term_id") == tid)
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    n = int(row["n_docs"])
+                    d, tf, _dl = decode_posting_block(
+                        row["docs"], row["tfs"], row["dls"], n
+                    )
+                    pos = decode_position_lists(row["pos_counts"], row["positions"], n)
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": d,
+                            "tf": tf.astype(np.int32),
+                            "positions": [p.astype(np.int32) for p in pos],
+                        }
+                    )
+
+        return segs.mapInPandas(decode, "doc_id long, tf int, positions array<int>")
+
+    def phrase_match(self, phrase: str) -> DataFrame:
+        """Docs containing the exact token phrase (adjacent positions).
+
+        Distributed anchor-join: each term's positions are shifted by the
+        term's offset in the phrase; a doc matches where one anchor carries
+        every phrase slot. No driver-side loops over postings."""
+        terms = tokenize(phrase, self.cfg)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        parts = []
+        for i, t in enumerate(terms):
+            p = (
+                self.postings_positions(t)
+                .select("doc_id", F.explode("positions").alias("p"))
+                .select(
+                    "doc_id",
+                    (F.col("p") - F.lit(i)).alias("anchor"),
+                    F.lit(i).alias("slot"),
+                )
+            )
+            parts.append(p)
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionAll(p)
+        return (
+            un.groupBy("doc_id", "anchor")
+            .agg(F.countDistinct("slot").alias("n_slots"))
+            .where(F.col("n_slots") == len(terms))
+            .select("doc_id")
+            .distinct()
+        )
 
     # ------------------------------------------------------------ BM25 --
     def query_terms(self, query: str) -> DataFrame:
