@@ -69,7 +69,7 @@ def main() -> None:
         qs = (queries * ((args.queries + len(queries) - 1) // len(queries)))[: args.queries]
         # concurrent serving model: Spark's scheduler multiplexes jobs
         tq = time.time()
-        with ThreadPoolExecutor(max_workers=8) as ex:
+        with ThreadPoolExecutor(max_workers=max(8, cores * 2)) as ex:
             list(ex.map(lambda q: si.bm25_topk(q, 10).collect(), qs))
         qsec = time.time() - tq
 

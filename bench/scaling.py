@@ -18,17 +18,27 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cores: int, docs: int, queries: int = 10) -> dict:
+def run_at(cores: int, docs: int, queries: int = 10, n_buckets: int = 1) -> dict:
+    # tmpfs for shuffle + data: this sandbox has ONE virtio disk
+    # (~255 MB/s) shared across all tasks — at 32 concurrent tasks the
+    # disk, not the CPUs, becomes the bottleneck and corrupts the CPU
+    # scaling measurement. A real 4N-executor cluster has 4N disks; tmpfs
+    # (126 GiB) stands in for per-executor local storage.
+    tmp = "/dev/shm/gloomy_scaling"
+    os.makedirs(tmp, exist_ok=True)
     env = dict(os.environ)
+    env["TMPDIR"] = tmp
     cmd = [
         "/opt/spark/bin/spark-submit",
         "--master", f"local[{cores}]",
-        "--conf", "spark.driver.memory=24g",
+        "--conf", "spark.driver.memory=32g",
+        "--conf", f"spark.local.dir={tmp}/spark-local",
         "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 16)}",
         "--py-files", os.path.join(REPO, "gloomy_spark.zip"),
         os.path.join(REPO, "bench", "build_job.py"),
         "--docs", str(docs),
         "--queries", str(queries),
+        "--n-buckets", str(n_buckets),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -42,6 +52,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="small cluster size N")
     ap.add_argument("--docs", type=int, default=60_000)
+    ap.add_argument("--n-buckets", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="interleaved repeats per config; best run wins "
+                         "(de-noises external load on this shared sandbox)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -49,14 +63,24 @@ def main() -> None:
 
     build_zip()
 
-    small = run_at(args.n, args.docs)
-    big = run_at(args.n * 4, args.docs)
+    smalls, bigs = [], []
+    for i in range(args.repeats):
+        smalls.append(run_at(args.n, args.docs, n_buckets=args.n_buckets))
+        bigs.append(run_at(args.n * 4, args.docs, n_buckets=args.n_buckets))
+        sys.stderr.write(
+            f"repeat {i}: N={smalls[-1]['build_sec']}s 4N={bigs[-1]['build_sec']}s\n"
+        )
+    small = min(smalls, key=lambda r: r["build_sec"])
+    big = min(bigs, key=lambda r: r["build_sec"])
     t_n, t_4n = small["build_sec"], big["build_sec"]
     eff = (t_n / t_4n) / 4.0
     q_eff = None
     if small.get("query_sec_total") and big.get("query_sec_total"):
         q_eff = (small["query_sec_total"] / big["query_sec_total"]) / 4.0
     result = {
+        "repeats": args.repeats,
+        "all_build_sec_n": [r["build_sec"] for r in smalls],
+        "all_build_sec_4n": [r["build_sec"] for r in bigs],
         "docs": args.docs,
         "n_cores": args.n,
         "4n_cores": args.n * 4,

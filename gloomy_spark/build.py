@@ -53,6 +53,10 @@ from .corpus import extract_text
 from .functions.text import tokens_col
 from .index_store import BucketRecord, IndexStore, Manifest
 
+# below this row count, dictionary id assignment happens driver-side (one
+# collect) instead of the 3-job distributed zipWithIndex pattern
+_DRIVER_ID_LIMIT = 2_000_000
+
 SEGMENT_SCHEMA = (
     "term_id long, doc_bucket long, first_doc long, last_doc long, n_docs int, "
     "max_score double, sum_tf long, docs binary, tfs binary, dls binary, "
@@ -94,7 +98,20 @@ def assign_dense_ids(
     """Dense 0..N-1 ids in lexicographic order WITHOUT a single-partition
     global window (SURVEY.md hard-part #5): range-partition on the order
     column, per-partition row_number, then add per-partition offsets
-    computed from a tiny count pass (zipWithIndex pattern)."""
+    computed from a tiny count pass (zipWithIndex pattern).
+
+    Distributed path used above `_DRIVER_ID_LIMIT` rows; below it, one
+    collect + createDataFrame is cheaper than three scheduled jobs."""
+    n = df.count()
+    if n <= _DRIVER_ID_LIMIT:
+        rows = df.collect()
+        cols = df.columns
+        order_idx = cols.index(order_col)
+        rows.sort(key=lambda r: r[order_idx])
+        spark = df.sparkSession
+        out_rows = [(*r, i) for i, r in enumerate(rows)]
+        schema = df.schema.add(id_col, "long")
+        return spark.createDataFrame(out_rows, schema)
     parted = (
         df.repartitionByRange(num_partitions, order_col)
         .withColumn("_pid", F.spark_partition_id())
@@ -119,6 +136,80 @@ def assign_dense_ids(
     return out
 
 
+def _partition_inverter(cfg: EngineConfig):
+    """mapInArrow per-partition inversion (the RAMNgramList/SPIMI analog,
+    ngramlist.go:79-115, fully vectorized):
+
+        (doc_id, tokens, doclen) → (term, doc_id, tf, dl, positions)
+
+    computed WITHOUT any shuffle: pandas factorize (hash, O(n)) maps terms
+    to codes, one integer lexsort groups (doc, term), run-length boundaries
+    give tf, and positions are emitted as a zero-copy Arrow ListArray from
+    (offsets, values) — no per-posting Python objects anywhere. The global
+    merge of these per-partition runs is the segment stage's range shuffle
+    (Spark's external sort == the reference's k-way chunk merge)."""
+    store_positions = cfg.store_positions
+
+    def invert(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            toks = batch.column("tokens")
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = toks.values  # flat string array
+            lens = offsets[1:] - offsets[:-1]
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat_docs = np.repeat(doc_ids, lens)
+            flat_dl = np.repeat(lens, lens)
+            starts = offsets[:-1]
+            pos_in_doc = (
+                np.arange(offsets[0], offsets[0] + total, dtype=np.int64)
+                - np.repeat(starts, lens)
+            )
+            # hash-factorize term strings → int codes (no string sort)
+            codes, uniques = pd.factorize(
+                pd.Series(values.to_pandas()), use_na_sentinel=False
+            )
+            codes = codes.astype(np.int64)
+            order = np.lexsort((pos_in_doc, codes, flat_docs))
+            sc, sd, sp, sl = codes[order], flat_docs[order], pos_in_doc[order], flat_dl[order]
+            boundary = np.nonzero((sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1]))[0]
+            g_start = np.concatenate(([0], boundary + 1))
+            g_end = np.concatenate((boundary + 1, [total]))
+            tf = (g_end - g_start).astype(np.int32)
+
+            term_arr = pa.array(np.asarray(uniques, dtype=object)[sc[g_start]], type=pa.string())
+            cols = [
+                term_arr,
+                pa.array(sd[g_start], type=pa.int64()),
+                pa.array(tf, type=pa.int32()),
+                pa.array(sl[g_start].astype(np.int32), type=pa.int32()),
+            ]
+            names = ["term", "doc_id", "tf", "dl"]
+            if store_positions:
+                pos_offsets = np.concatenate((g_start, [total])).astype(np.int32)
+                pos_list = pa.ListArray.from_arrays(
+                    pa.array(pos_offsets), pa.array(sp.astype(np.int32))
+                )
+                cols.append(pos_list)
+                names.append("positions")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return invert
+
+
+POSTINGS_SCHEMA = "term string, doc_id long, tf int, dl int, positions array<int>"
+POSTINGS_SCHEMA_NOPOS = "term string, doc_id long, tf int, dl int"
+
+
 def _segment_writer(cfg: EngineConfig, avgdl: float):
     """mapInPandas writer: sorted (term_id, doc_id, tf, dl, idf, positions)
     rows → posting blocks. Vectorized per block; the only Python-level loop
@@ -129,77 +220,107 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
 
     store_positions = cfg.store_positions
 
-    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def write(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            term_id = pdf["term_id"].to_numpy(np.int64)
-            doc_id = pdf["doc_id"].to_numpy(np.int64)
-            tf = pdf["tf"].to_numpy(np.int64)
-            dl = pdf["dl"].to_numpy(np.int64)
-            idf = pdf["idf"].to_numpy(np.float64)
+            term_id = np.asarray(batch.column("term_id").to_numpy(zero_copy_only=False), dtype=np.int64)
+            doc_id = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False), dtype=np.int64)
+            tf = np.asarray(batch.column("tf").to_numpy(zero_copy_only=False), dtype=np.int64)
+            dl = np.asarray(batch.column("dl").to_numpy(zero_copy_only=False), dtype=np.int64)
+            idf = np.asarray(batch.column("idf").to_numpy(zero_copy_only=False), dtype=np.float64)
             doc_bucket = doc_id // bucket_width
             score = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
 
-            # positions: ONE bulk delta+varint encode per Arrow batch with
-            # per-value byte offsets, then blocks slice bytes — no
-            # per-posting Python encode calls
-            has_pos = store_positions and "positions" in pdf.columns
-            if has_pos:
-                lens, deltas = flat_delta_positions(pdf["positions"].to_numpy())
-                cnt_buf, cnt_off = varint_encode_with_offsets(lens.astype(np.uint64))
-                pos_buf, pos_off = varint_encode_with_offsets(deltas)
-                val_starts = np.concatenate(([0], np.cumsum(lens)))
+            # ---- block boundaries: new (term_id, doc_bucket) group, or a
+            # multiple of `block` postings within a group (all vectorized)
+            new_group = np.ones(n, dtype=bool)
+            new_group[1:] = (term_id[1:] != term_id[:-1]) | (
+                doc_bucket[1:] != doc_bucket[:-1]
+            )
+            g_start = np.nonzero(new_group)[0]
+            within = np.arange(n, dtype=np.int64) - np.repeat(
+                g_start, np.diff(np.concatenate((g_start, [n])))
+            )
+            is_block_start = new_group | (within % block == 0)
+            b_start = np.nonzero(is_block_start)[0]
+            b_end = np.concatenate((b_start[1:], [n]))
 
-            # group boundaries on (term_id, doc_bucket); input is sorted
-            change = np.nonzero(
-                (np.diff(term_id) != 0) | (np.diff(doc_bucket) != 0)
-            )[0]
-            starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [len(pdf)]))
+            # ---- bulk varint encodings, sliced per block by byte offsets
+            deltas = doc_id.copy()
+            deltas[1:] -= doc_id[:-1]
+            deltas[b_start] = doc_id[b_start]  # first-of-block absolute
+            docs_all, docs_off = varint_encode_with_offsets(deltas)
+            tfs_all, tfs_off = varint_encode_with_offsets(tf)
+            dls_all, dls_off = varint_encode_with_offsets(dl)
 
-            rows = []
-            for s, e in zip(starts, ends):
-                for bs in range(s, e, block):
-                    be = min(bs + block, e)
-                    d, t, l = doc_id[bs:be], tf[bs:be], dl[bs:be]
-                    docs_buf, tfs_buf, dls_buf = encode_posting_block(d, t, l)
-                    if has_pos:
-                        pc_buf = cnt_buf[cnt_off[bs] : cnt_off[be]]
-                        pos_blk = pos_buf[
-                            pos_off[val_starts[bs]] : pos_off[val_starts[be]]
-                        ]
-                    else:
-                        pc_buf, pos_blk = b"", b""
-                    rows.append(
-                        (
-                            int(term_id[bs]),
-                            int(doc_bucket[bs]),
-                            int(d[0]),
-                            int(d[-1]),
-                            int(be - bs),
-                            float(score[bs:be].max()),
-                            int(t.sum()),
-                            docs_buf,
-                            tfs_buf,
-                            dls_buf,
-                            pc_buf,
-                            pos_blk,
-                            pid,
-                        )
-                    )
-            if rows:
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "term_id", "doc_bucket", "first_doc", "last_doc",
-                        "n_docs", "max_score", "sum_tf", "docs", "tfs", "dls",
-                        "pos_counts", "positions", "part_id",
-                    ],
+            def slices(buf: bytes, off: np.ndarray) -> "pa.Array":
+                mv = memoryview(buf)  # off has n+1 entries; off[n] == len(buf)
+                return pa.array(
+                    [mv[off[s] : off[e]] for s, e in zip(b_start, b_end)],
+                    type=pa.binary(),
                 )
+
+            has_pos = store_positions and batch.schema.get_field_index("positions") >= 0
+            if has_pos:
+                pos_col = batch.column("positions")
+                if isinstance(pos_col, pa.ChunkedArray):
+                    pos_col = pos_col.combine_chunks()
+                pos_offsets = np.asarray(pos_col.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+                pos_values = np.asarray(pos_col.values.to_numpy(zero_copy_only=False), dtype=np.int64)
+                base0 = pos_offsets[0]
+                lens = pos_offsets[1:] - pos_offsets[:-1]
+                pdeltas = pos_values.copy()
+                pdeltas[1:] -= pos_values[:-1]
+                firsts = (pos_offsets[:-1] - base0)[lens > 0]
+                pdeltas[firsts] = pos_values[firsts]
+                cnt_all, cnt_off = varint_encode_with_offsets(lens)
+                posv_all, posv_off = varint_encode_with_offsets(pdeltas)
+                val_starts = (pos_offsets - base0)
+                mvp = memoryview(posv_all)
+                pos_counts_arr = slices(cnt_all, cnt_off)
+                positions_arr = pa.array(
+                    [
+                        mvp[posv_off[val_starts[s]] : posv_off[val_starts[e]]]
+                        for s, e in zip(b_start, b_end)
+                    ],
+                    type=pa.binary(),
+                )
+            else:
+                empty = pa.array([b""] * len(b_start), type=pa.binary())
+                pos_counts_arr, positions_arr = empty, empty
+
+            # ---- per-block stats via reduceat (no Python per-block math)
+            max_score = np.maximum.reduceat(score, b_start)
+            sum_tf = np.add.reduceat(tf, b_start)
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(term_id[b_start], type=pa.int64()),
+                    pa.array(doc_bucket[b_start], type=pa.int64()),
+                    pa.array(doc_id[b_start], type=pa.int64()),
+                    pa.array(doc_id[b_end - 1], type=pa.int64()),
+                    pa.array((b_end - b_start).astype(np.int32), type=pa.int32()),
+                    pa.array(max_score, type=pa.float64()),
+                    pa.array(sum_tf, type=pa.int64()),
+                    slices(docs_all, docs_off),
+                    slices(tfs_all, tfs_off),
+                    slices(dls_all, dls_off),
+                    pos_counts_arr,
+                    positions_arr,
+                    pa.array(np.full(len(b_start), pid, dtype=np.int32), type=pa.int32()),
+                ],
+                names=[
+                    "term_id", "doc_bucket", "first_doc", "last_doc", "n_docs",
+                    "max_score", "sum_tf", "docs", "tfs", "dls", "pos_counts",
+                    "positions", "part_id",
+                ],
+            )
+            yield out
 
     return write
 
@@ -230,9 +351,26 @@ class IndexBuilder:
         n_buckets: int = 4,
         resume: bool = True,
         input_snapshot: str = "",
+        ngram_size: int = 1,
+        min_term_freq: int = 1,
+        term_filter=None,
         fail_after_bucket: int | None = None,  # test hook for resume tests
     ) -> Manifest:
+        """Build a block-compressed index.
+
+        ngram_size > 1 indexes n-gram terms (the reference's native mode —
+        its whole store is an n-gram database); stop-string window resets
+        apply inside the n-gram former. min_term_freq mirrors the
+        reference's minNgramFreq HAVING filter (builder.go:199).
+        term_filter is the custom-filter hook (filter.go:34 .so plugin →
+        a Column-predicate callable, JVM-side when built from builtins)."""
         cfg = self.cfg
+        # big Arrow batches: the writer/inverter do O(1) python work per
+        # batch, so 10k-row default batches = 8000 needless round trips at
+        # 80M postings; 1M-row batches are ~40MB each — still small
+        self.spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "1000000"
+        )
         store = IndexStore(index_dir)
         store.ensure_dirs()
         store.save_config(cfg)
@@ -254,24 +392,47 @@ class IndexBuilder:
         # A stored token array costs one transient parquet but makes every
         # downstream stage a cheap column scan. (Transient; removable after
         # build.)
-        tokens_path = os.path.join(index_dir, "tokens")
-        if not (resume and os.path.exists(os.path.join(tokens_path, "_SUCCESS"))):
-            (
-                base.withColumn("tokens", tokens_col(F.col("text"), cfg))
-                .select(
-                    "doc_id", "url", "lang", "tokens",
-                    F.size("tokens").alias("doclen"),
-                )
-                .write.mode("overwrite")
-                .parquet(tokens_path)
+        from .functions.text import ngrams_col
+
+        term_expr = (
+            tokens_col(F.col("text"), cfg)
+            if ngram_size <= 1
+            else ngrams_col(F.col("text"), ngram_size, cfg)
+        )
+        if term_filter is not None:
+            term_expr = F.filter(term_expr, term_filter)
+
+        # -------------------------------------------------- postings_raw/
+        # ONE corpus pass: JVM tokenization feeds the Arrow partition
+        # inverter directly (mapInArrow consumes each row once, so the
+        # tokenizer expression is evaluated exactly once per doc — unlike
+        # explode(generator), which re-evaluates per element)
+        postings_path = os.path.join(index_dir, "postings_raw")
+        if not (resume and os.path.exists(os.path.join(postings_path, "_SUCCESS"))):
+            schema = (
+                POSTINGS_SCHEMA if cfg.store_positions else POSTINGS_SCHEMA_NOPOS
             )
-        tokens_df = self.spark.read.parquet(tokens_path)
-        stages["tokenize"] = round(time.time() - t0, 2)
+            (
+                base.select(F.col("doc_id"), term_expr.alias("tokens"))
+                .mapInArrow(_partition_inverter(cfg), schema)
+                .write.mode("overwrite")
+                .parquet(postings_path)
+            )
+        stages["postings"] = round(time.time() - t0, 2)
+        postings = self.spark.read.parquet(postings_path)
 
         # ---------------------------------------------------------- docs/
+        # doc dimension: url/lang from the corpus, doclen recovered from
+        # postings (docs with zero surviving tokens get doclen 0)
         if not (resume and store.stage_done("docs")):
+            dls = postings.groupBy("doc_id").agg(F.first("dl").alias("doclen"))
             (
-                tokens_df.select("doc_id", "url", "lang", "doclen")
+                base.select("doc_id", "url", "lang")
+                .join(dls, "doc_id", "left")
+                .select(
+                    "doc_id", "url", "lang",
+                    F.coalesce("doclen", F.lit(0)).cast("int").alias("doclen"),
+                )
                 .write.mode("overwrite")
                 .parquet(store.docs_path)
             )
@@ -282,35 +443,16 @@ class IndexBuilder:
         ).collect()[0]
         n_docs, avgdl = int(agg["n"]), float(agg["avgdl"])
 
-        # -------------------------------------------------- postings_raw/
-        postings_path = os.path.join(index_dir, "postings_raw")
-        if not (resume and os.path.exists(os.path.join(postings_path, "_SUCCESS"))):
-            toks = tokens_df.select(
-                "doc_id",
-                F.col("doclen").alias("dl"),
-                F.posexplode("tokens").alias("pos", "term"),
-            )
-            aggs = [
-                F.count("*").cast("int").alias("tf"),
-                F.first("dl").alias("dl"),
-            ]
-            if cfg.store_positions:
-                aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-            (
-                toks.groupBy("term", "doc_id")
-                .agg(*aggs)
-                .write.mode("overwrite")
-                .parquet(postings_path)
-            )
-        stages["postings"] = round(time.time() - t0 - sum(stages.values()), 2)
-        postings = self.spark.read.parquet(postings_path)
-
         # ---------------------------------------------------------- terms/
         if not (resume and store.stage_done("terms")):
             dict_df = postings.groupBy("term").agg(
                 F.count("*").cast("long").alias("df"),
                 F.sum("tf").cast("long").alias("cf"),
             )
+            if min_term_freq > 1:
+                # reference minNgramFreq HAVING filter (builder.go:199);
+                # postings of dropped terms vanish at the bucket dict-join
+                dict_df = dict_df.where(F.col("cf") >= min_term_freq)
             dict_df = assign_dense_ids(dict_df, "term", "term_id", shuffle_parts)
             (
                 dict_df.withColumn("idf", bm25_idf(n_docs, F.col("df")))
@@ -345,9 +487,12 @@ class IndexBuilder:
             segs = (
                 joined.repartitionByRange(shuffle_parts, "term_id", "doc_id")
                 .sortWithinPartitions("term_id", "doc_id")
-                .mapInPandas(writer, SEGMENT_SCHEMA)
+                .mapInArrow(writer, SEGMENT_SCHEMA)
             )
             segs.write.mode("overwrite").parquet(store.bucket_dir(k))
+            stages[f"segments_write_{k}"] = round(
+                time.time() - t0 - sum(stages.values()), 2
+            )
             # bucket metrics from the committed files (cheap: footer stats +
             # small agg), then the crash-safe ledger line
             written = self.spark.read.parquet(store.bucket_dir(k))

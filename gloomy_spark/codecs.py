@@ -19,21 +19,48 @@ import numpy as np
 _MAX_VARINT_BYTES = 10
 
 
+def _as_uint64(values: np.ndarray) -> np.ndarray:
+    """Zero-copy uint64 view for non-negative int64 input (the common
+    case); copies only on dtype/layout mismatch."""
+    if values.dtype == np.uint64 and values.flags.c_contiguous:
+        return values
+    if values.dtype == np.int64 and values.flags.c_contiguous:
+        return values.view(np.uint64)
+    return np.ascontiguousarray(values, dtype=np.uint64)
+
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte count in ONE vectorized pass: bit length via
+    frexp for values < 2^53 (exact there), masked shift loop only for the
+    rare huge values."""
+    small = v < np.uint64(1 << 53)
+    nbits = np.empty(v.shape, dtype=np.int64)
+    if small.all():
+        _, e = np.frexp(v.astype(np.float64))
+        nbits = e.astype(np.int64)
+    else:
+        _, e = np.frexp(np.where(small, v, np.uint64(1)).astype(np.float64))
+        nbits = e.astype(np.int64)
+        big = ~small
+        tmp = v[big] >> np.uint64(53)
+        nb = np.full(tmp.shape, 53, dtype=np.int64)
+        nz = tmp > 0
+        while nz.any():
+            nb[nz] += 1
+            tmp >>= np.uint64(1)
+            nz = tmp > 0
+        nbits[big] = nb
+    return np.maximum((nbits + 6) // 7, 1)
+
+
 def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Encode + per-value byte offsets (len n+1): offsets[i]:offsets[i+1] is
     value i's byte span — lets callers slice a bulk encoding into blocks
     without re-encoding."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    v = _as_uint64(values)
     if v.size == 0:
         return b"", np.zeros(1, dtype=np.int64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-        nz = tmp > 0
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+    nbytes = _varint_nbytes(v)
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     for j in range(_MAX_VARINT_BYTES):
@@ -48,18 +75,10 @@ def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
 
 def varint_encode(values: np.ndarray) -> bytes:
     """Encode a non-negative integer array as concatenated LEB128 varints."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    v = _as_uint64(values)
     if v.size == 0:
         return b""
-    # bytes needed: ceil(bitlength/7), minimum 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-        nz = tmp > 0
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+    nbytes = _varint_nbytes(v)
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     for j in range(_MAX_VARINT_BYTES):

@@ -76,6 +76,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- index (cached) --
 
 _INDEX_CACHE: dict[str, object] = {}
+_CACHE_VERSION = 2
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
@@ -87,8 +88,11 @@ def _index_for(spark: SparkSession, sf_dir: str):
 
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
+    # bump _CACHE_VERSION whenever build options for the cached index change
     slug = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    idx_dir = os.path.join(tempfile.gettempdir(), f"gloomy_idx_{slug}")
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"gloomy_idx_v{_CACHE_VERSION}_{slug}"
+    )
     docs = _docs(spark, sf_dir)
     n = docs.count()
     ok = False
@@ -98,7 +102,7 @@ def _index_for(spark: SparkSession, sf_dir: str):
         ok = False
     if not ok:
         shutil.rmtree(idx_dir, ignore_errors=True)
-        IndexBuilder(spark, CFG).build(docs, idx_dir, n_buckets=2)
+        IndexBuilder(spark, CFG).build(docs, idx_dir, n_buckets=2, lang_col="lang")
     si = SearchIndex(spark, idx_dir)
     _INDEX_CACHE[sf_dir] = si
     return si
@@ -312,6 +316,54 @@ def q_regexp_search(pattern: str):
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
 SELECT term, count(*) AS df, sum(tf) AS cf FROM tf
 WHERE regexp_matches(term, '^{pattern}$') GROUP BY term"""
+    return fn, sql
+
+
+def q_phrase_match(phrase: str):
+    """Index-backed positional phrase search (adjacent tokens)."""
+    toks = phrase.lower().split()
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        return si.phrase_match(phrase)
+
+    joins = " ".join(
+        f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+        f"AND t{i}.term = '{t}'"
+        for i, t in enumerate(toks[1:], start=1)
+    )
+    sql = f"""WITH {TOKS_CTE}
+SELECT DISTINCT t0.doc_id AS doc_id
+FROM toks t0 {joins}
+WHERE t0.term = '{toks[0]}'"""
+    return fn, sql
+
+
+def q_bm25_with_metadata(query: str, k: int):
+    """BM25 top-k joined with the docs dimension (Q11 metadata decode)."""
+    from .textnorm import tokenize
+
+    qterms = list(dict.fromkeys(tokenize(query, CFG)))
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        over = si.bm25_topk(query, k=k + 40, use_blockmax=True)
+        hits = (
+            over.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        return si.with_doc_metadata(hits, attrs=["lang", "doclen"])
+
+    inner = _bm25_sql(qterms, k)
+    sql = f"""WITH hits AS ({inner}),
+dls AS (
+  SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                                 t -> {IGNORE_FILTER_SQL})) AS doclen, lang
+  FROM documents
+)
+SELECT hits.doc_id, hits.score, dls.lang, cast(dls.doclen AS int) AS doclen
+FROM hits JOIN dls USING (doc_id)"""
     return fn, sql
 
 
@@ -649,6 +701,8 @@ def registry() -> dict[str, tuple]:
         "bm25_topk": q_bm25_df("scan filter window the", 10),
         "bm25_topk_single": q_bm25_df("merge", 10),
         "bm25_wand_topk": q_bm25_wand("scan filter window the", 10),
+        "bm25_with_metadata": q_bm25_with_metadata("merge group table", 10),
+        "phrase_match": q_phrase_match("table hash"),
         # dedup family
         "dedup_exact_groups": q_dedup_exact(),
         "dedup_keep_first": q_dedup_keep_first(),

@@ -57,6 +57,9 @@ def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one feature
     matrix out (batch-vectorized post-decode). Output: fixed-dim
     array<double> + a content hash usable as an exact-dup key."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,6 +86,9 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: emits (doc_id, frame_ts_ms,
     frame_hash) per sampled timestamp — the explode/fan-out shape a real
     frame extractor produces, with the decoder stubbed."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

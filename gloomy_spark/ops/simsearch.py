@@ -89,6 +89,9 @@ def ann_lsh_topk(
     the query's bucket. Recall < 1 by design (same-bucket candidates only);
     at scale, multi-probe or band-OR across several plane sets raises
     recall. Bucket assignment is one vectorized matmul per Arrow batch."""
+    from ..session import ship_package
+
+    ship_package(emb.sparkSession)
     dim = len(emb.select(vec_col).first()[0])
     bucket = lsh_bucket_udf(dim, n_planes)
     with_b = emb.withColumn("bucket", bucket(F.col(vec_col)))
@@ -119,6 +122,9 @@ def pairwise_above(
     """Embedding near-duplicate pairs: LSH-bucketed candidate generation +
     exact cosine filter (doc_a < doc_b). The bucket equality join replaces
     the O(n²) cross join."""
+    from ..session import ship_package
+
+    ship_package(emb.sparkSession)
     dim = len(emb.select(vec_col).first()[0])
     bucket = lsh_bucket_udf(dim, n_planes)
     wb = emb.select(

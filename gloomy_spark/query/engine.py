@@ -213,18 +213,56 @@ class SearchIndex:
         """Q3/Q4 analog: compile the restricted regex to literal/prefix
         alternatives, union the narrowed candidates, post-filter with the
         full anchored regex (service/search.go:136-172 semantics)."""
+        return (
+            self.search_regexp_candidates(pattern)
+            .where(F.col("term").rlike(f"^{pattern}$"))
+            .select("term", "term_id", "df", "cf")
+        )
+
+    def search_ngram_regexp(self, patterns: list[str]) -> DataFrame:
+        """Multi-position regex search over an n-gram index (reference
+        searchByRegexp semantics, service/search.go:136-172): the FIRST
+        pattern narrows the candidate set via the prefix compiler; every
+        position is then post-filtered with its own anchored regex."""
+        first = self.search_regexp_candidates(patterns[0])
+        cond = F.lit(True)
+        for i, p in enumerate(patterns):
+            cond = cond & F.split(F.col("term"), " ").getItem(i).rlike(f"^{p}$")
+        return first.where(F.size(F.split(F.col("term"), " ")) == len(patterns)).where(
+            cond
+        ).select("term", "term_id", "df", "cf")
+
+    def search_regexp_candidates(self, pattern: str) -> DataFrame:
+        """Prefix-compiler narrowing only (no post-filter) — the candidate
+        set the reference unions before filtering."""
         alts = regex_to_prefixes(pattern)
         exact = [a for a in alts if not a.endswith("*")]
         prefixes = [a[:-1] for a in alts if a.endswith("*")]
         cond = F.lit(False)
         if exact:
-            cond = cond | F.col("term").isin([e.lower() for e in exact])
+            # n-gram terms: first token equality/prefix (space-joined)
+            for e in exact:
+                el = e.lower()
+                cond = cond | (F.col("term") == el) | F.col("term").startswith(el + " ")
         for p in prefixes:
             cond = cond | F.col("term").startswith(p.lower())
-        return (
-            self.terms.where(cond)
-            .where(F.col("term").rlike(f"^{pattern}$"))
-            .select("term", "term_id", "df", "cf")
+        return self.terms.where(cond)
+
+    def with_doc_metadata(self, hits: DataFrame, attrs: list[str] | None = None) -> DataFrame:
+        """Q11 metadata decode: broadcast-join the docs dimension onto a
+        hits DataFrame carrying doc_id (url/lang/doclen or chosen attrs)."""
+        cols = ["doc_id"] + (attrs or ["url", "lang", "doclen"])
+        dim = self.docs.select(*[c for c in cols if c in self.docs.columns])
+        return hits.join(F.broadcast(dim), "doc_id", "left")
+
+    def export_ngrams_tsv(self, path: str, min_freq: int = 1) -> None:
+        """S8 analog: dump (term, cf) as TSV (extras.ExtractUniqueNgrams)."""
+        (
+            self.terms.where(F.col("cf") >= min_freq)
+            .select("term", "cf")
+            .write.mode("overwrite")
+            .option("sep", "\t")
+            .csv(path)
         )
 
     def slice(self, df: DataFrame, offset: int, limit: int) -> DataFrame:

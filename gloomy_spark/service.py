@@ -1,0 +1,111 @@
+"""HTTP search service (reference service/server.go parity).
+
+Differences by design: the reference reloads the index from disk on every
+request (search.go:176-181); this service holds ONE long-lived
+SparkSession with cached terms/segments per corpus and serves from it.
+
+Endpoints (mirroring server.go:115-144 query params):
+    GET /search?corpus=<name>&q=<query>&qtype=default|prefix|regexp
+        &offset=0&limit=10&attrs=url&attrs=lang
+    GET /bm25?corpus=<name>&q=<terms>&k=10
+Response: {"size": N, "rows": [...], "searchTime": sec}
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from .query.engine import SearchIndex
+
+
+class SearchService:
+    def __init__(self, spark: SparkSession, corpora: dict[str, str]):
+        """corpora: name → index_dir."""
+        self.spark = spark
+        self.indexes = {
+            name: SearchIndex(spark, path).cache() for name, path in corpora.items()
+        }
+        self._server: ThreadingHTTPServer | None = None
+
+    # ------------------------------------------------------------ logic --
+    def search(self, corpus: str, q: str, qtype: str, offset: int, limit: int,
+               attrs: list[str]) -> dict:
+        t0 = time.time()
+        si = self.indexes[corpus]
+        if qtype == "regexp":
+            res = si.search_regexp(q)
+        elif qtype == "prefix" or q.endswith("*"):
+            res = si.search_prefix(q)
+        else:
+            res = si.search_exact(q)
+        res = si.slice(res, offset, offset + limit) if offset else res.limit(limit)
+        rows = [r.asDict() for r in res.collect()]
+        return {"size": len(rows), "rows": rows, "searchTime": round(time.time() - t0, 4)}
+
+    def bm25(self, corpus: str, q: str, k: int, attrs: list[str]) -> dict:
+        t0 = time.time()
+        si = self.indexes[corpus]
+        hits = si.bm25_topk(q, k)
+        if attrs:
+            hits = si.with_doc_metadata(hits, attrs)
+        rows = [r.asDict() for r in hits.collect()]
+        return {"size": len(rows), "rows": rows, "searchTime": round(time.time() - t0, 4)}
+
+    # ------------------------------------------------------------- http --
+    def start(self, port: int = 0) -> int:
+        svc = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                qs = parse_qs(u.query)
+
+                def p(name, default=None):
+                    return qs.get(name, [default])[0]
+
+                try:
+                    corpus = p("corpus")
+                    if corpus not in svc.indexes:
+                        raise KeyError(f"unknown corpus {corpus!r}")
+                    attrs = qs.get("attrs", [])
+                    if u.path == "/search":
+                        out = svc.search(
+                            corpus, p("q", ""), p("qtype", "default"),
+                            int(p("offset", "0")), int(p("limit", "10")), attrs,
+                        )
+                    elif u.path == "/bm25":
+                        out = svc.bm25(corpus, p("q", ""), int(p("k", "10")), attrs)
+                    else:
+                        self.send_error(404)
+                        return
+                    body = json.dumps(out).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except Exception as ex:  # noqa: BLE001 — service boundary
+                    body = json.dumps({"error": str(ex)}).encode()
+                    self.send_response(400)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        threading.Thread(target=self._server.serve_forever, daemon=True).start()
+        return self._server.server_address[1]
+
+    def stop(self) -> None:
+        if self._server:
+            self._server.shutdown()
+            self._server = None

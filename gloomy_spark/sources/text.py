@@ -1,0 +1,68 @@
+"""Corpus sources: plain-text files (optionally gzip/bzip2, non-UTF8).
+
+Reference parity: files.NewReader transparent gz/bz2 handling
+(index/builder/files/util.go:28-56) — Spark's text reader decompresses
+.gz/.bz2 by extension natively; charset decode (simple.go:84-90) is a
+vectorized bytes-decode over binaryFile rows for non-UTF8 corpora.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_plaintext_docs(
+    spark: SparkSession, path: str, charset: str = "utf-8"
+) -> DataFrame:
+    """One document per line: (doc_id, text). Handles *.gz / *.bz2
+    transparently. For non-UTF8, reads bytes and decodes vectorized."""
+    if charset.lower() in ("utf-8", "utf8"):
+        lines = spark.read.text(path)
+        return lines.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("value").alias("text"),
+        )
+    # non-UTF8: binaryFile → decode whole file → split lines
+    from ..session import ship_package
+
+    ship_package(spark)
+    bf = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                body = bytes(r["content"])
+                if r["path"].endswith(".gz"):
+                    import gzip
+
+                    body = gzip.decompress(body)
+                elif r["path"].endswith(".bz2"):
+                    import bz2
+
+                    body = bz2.decompress(body)
+                for i, line in enumerate(body.decode(charset).splitlines()):
+                    rows.append((r["path"], i, line))
+            yield pd.DataFrame(rows, columns=["path", "line_no", "text"])
+
+    decoded = bf.mapInPandas(decode, "path string, line_no long, text string")
+    return decoded.select(
+        F.abs(F.hash("path").cast("long") * F.lit(1 << 20) + F.col("line_no")).alias("doc_id"),
+        "text",
+    )
+
+
+def read_wholefile_docs(spark: SparkSession, path: str) -> DataFrame:
+    """One document per file: (doc_id, url=path, text)."""
+    df = spark.read.text(path, wholetext=True).withColumn(
+        "url", F.input_file_name()
+    )
+    return df.select(
+        F.abs(F.hash("url")).cast("long").alias("doc_id"),
+        "url",
+        F.col("value").alias("text"),
+    )

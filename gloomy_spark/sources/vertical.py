@@ -1,0 +1,98 @@
+"""Vertical-format corpus source (reference S3).
+
+The reference's primary input is the "vertical" corpus format parsed by
+the external vertigo library (builder.go:219-232): one token per line,
+tab-separated positional attributes, SGML-ish structure tags like
+``<doc file="x" n="1">`` opening a document and ``</doc>`` closing it.
+Structure boundaries reset the n-gram window (builder.go:142-144), and
+structure attributes become per-n-gram metadata (builder.go:131-139).
+
+This implementation parses whole vertical files (optionally .gz) into
+documents: (doc_id, text, <struct attrs...>). Tokens inside one structure
+are space-joined, so the engine tokenizer reproduces the token stream;
+window-reset at structure boundaries is inherited because n-grams never
+cross document rows.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_OPEN_RE = re.compile(r"<(\w+)((?:\s+\w+=\"[^\"]*\")*)\s*/?>")
+_ATTR_RE = re.compile(r"(\w+)=\"([^\"]*)\"")
+
+
+def parse_vertical(body: str, doc_tag: str = "doc") -> list[dict]:
+    """Pure-Python vertical parser (pinned semantics, reused in tests)."""
+    docs: list[dict] = []
+    cur_tokens: list[str] = []
+    cur_attrs: dict[str, str] = {}
+    in_doc = False
+    for line in body.splitlines():
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        if line.startswith("</"):
+            tag = line[2:].rstrip(">").strip()
+            if tag == doc_tag and in_doc:
+                docs.append({"attrs": dict(cur_attrs), "text": " ".join(cur_tokens)})
+                cur_tokens, cur_attrs, in_doc = [], {}, False
+            continue
+        if line.startswith("<"):
+            m = _OPEN_RE.match(line)
+            if m and m.group(1) == doc_tag:
+                if in_doc and cur_tokens:
+                    docs.append({"attrs": dict(cur_attrs), "text": " ".join(cur_tokens)})
+                cur_attrs = dict(_ATTR_RE.findall(m.group(2) or ""))
+                cur_tokens = []
+                in_doc = True
+            # non-doc structures (<s>, <p>, …) are window boundaries; we
+            # keep them implicit (token runs stay within one doc row)
+            continue
+        # token line: first tab-separated column is the word form
+        cur_tokens.append(line.split("\t", 1)[0])
+    if in_doc and cur_tokens:
+        docs.append({"attrs": dict(cur_attrs), "text": " ".join(cur_tokens)})
+    return docs
+
+
+def read_vertical_docs(
+    spark: SparkSession, path: str, doc_tag: str = "doc", attrs: list[str] | None = None
+) -> DataFrame:
+    """Vertical files → (doc_id, text, <attr columns>). Gzip by extension."""
+    from ..session import ship_package
+
+    ship_package(spark)
+    attrs = attrs or []
+    bf = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                body = bytes(r["content"])
+                if r["path"].endswith(".gz"):
+                    import gzip
+
+                    body = gzip.decompress(body)
+                for i, d in enumerate(parse_vertical(body.decode("utf-8"), doc_tag)):
+                    rows.append(
+                        (r["path"], i, d["text"], *[d["attrs"].get(a) for a in attrs])
+                    )
+            cols = ["path", "seq", "text", *attrs]
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = "path string, seq long, text string" + "".join(
+        f", {a} string" for a in attrs
+    )
+    parsed = bf.mapInPandas(run, schema)
+    return parsed.select(
+        F.abs(F.hash("path").cast("long") * F.lit(1 << 20) + F.col("seq")).alias("doc_id"),
+        "text",
+        *attrs,
+    )

@@ -143,17 +143,6 @@ class IncrementalIndexer:
             .write.mode("overwrite")
             .parquet(docs_path)
         )
-        # tokens/ stage is not needed when postings are prebuilt; create a
-        # marker so the builder's resume logic skips it
-        tokens_path = os.path.join(index_dir, "tokens")
-        (
-            self.spark.read.parquet(docs_path)
-            .withColumn("tokens", F.array().cast("array<string>"))
-            .limit(0)
-            .write.mode("overwrite")
-            .parquet(tokens_path)
-        )
-
         builder = IndexBuilder(self.spark, cfg)
         empty_docs = self.spark.createDataFrame([], "doc_id long, text string")
         return builder.build(
