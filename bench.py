@@ -93,11 +93,20 @@ def main() -> None:
     for name in [
         "unigram_counts", "bigram_counts", "term_dictionary", "bm25_topk",
         "dedup_exact_groups", "minhash_lsh_pairs", "simhash_values",
-        "jaccard_pairs", "ann_cosine_topk", "language_id", "quality_score",
+        "ann_cosine_topk", "language_id", "quality_score",
         "token_counts", "doc_fingerprint", "media_features",
     ]:
         fn, _sql = reg[name]
         timed(f"q_{name}", lambda fn=fn: fn(spark, sf_dir).count())
+
+    # near-dup dedup at bench scale: LSH candidates + exact jaccard rerank
+    # (all-pairs exact jaccard is the sf0.01 oracle entry, not the scale path)
+    from gloomy_spark.ops.dedup import lsh_jaccard_pipeline
+
+    timed(
+        "q_dedup_lsh_jaccard",
+        lambda: lsh_jaccard_pipeline(docs, shingle_k=2, threshold=0.3).count(),
+    )
 
     # ---- synthetic web-corpus build (north-rule headline) ----
     corpus_dir = tempfile.mkdtemp(prefix="gloomy_bench_corpus_")

@@ -217,6 +217,48 @@ def simhash_near_pairs(
     )
 
 
+def lsh_jaccard_pipeline(
+    docs: DataFrame,
+    num_hashes: int = 24,
+    bands: int = 6,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The scale composition: MinHash-LSH candidate generation → exact
+    jaccard rerank computed ONLY for candidate pairs (intersection via two
+    shingle joins constrained to candidates). This is the 100 TB shape —
+    the all-pairs `jaccard_pairs` below is the exact oracle-checkable
+    operator for small inputs."""
+    cand = minhash_lsh_pairs(docs, num_hashes, bands, shingle_k, text_col, id_col)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 # ------------------------------------------------------- n-gram jaccard --
 
 
