@@ -674,6 +674,13 @@ def q_frame_sample():
     return fn, None  # media_type derives from crc32 (no DuckDB equivalent)
 
 
+def q_ann_ivf(query_vec_id: int, k: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return simsearch.ivf_topk(_emb(spark, sf_dir), query_vec_id, k)
+
+    return fn, None  # approximate by design → rows-only check
+
+
 def q_embedding_pairs(threshold: float):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return simsearch.pairwise_above(_emb(spark, sf_dir), threshold)
@@ -714,6 +721,7 @@ def registry() -> dict[str, tuple]:
         # similarity search
         "ann_cosine_topk": q_ann_cosine(0, 10),
         "ann_lsh_topk": q_ann_lsh(0, 10),
+        "ann_ivf_topk": q_ann_ivf(0, 10),
         "embedding_near_pairs": q_embedding_pairs(0.5),
         # text analysis
         "language_id": q_language_id(),

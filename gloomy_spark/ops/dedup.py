@@ -101,6 +101,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): docs sharing ≥1 identical band.
 
@@ -120,6 +121,10 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        from .skew import cap_buckets
+
+        banded = cap_buckets(banded, ["band", "key"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -112,6 +112,71 @@ def ann_lsh_topk(
     )
 
 
+def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (the IVF coarse
+    quantizer is a small model — at 100 TB you train it on a ~1M-vector
+    sample, which still fits one machine; assignment stays distributed)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(0)
+    return cent
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer → per-vector list
+    assignment (one matmul per Arrow batch) → exact rerank inside the
+    `n_probe` lists nearest to the query. The scan prunes to
+    ~n_probe/n_lists of the corpus; at scale the list id becomes a
+    partition column so pruning happens at the file level."""
+    from ..session import ship_package
+
+    ship_package(emb.sparkSession)
+    sample = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in emb.select(vec_col).limit(sample_size).collect()]
+    )
+    cent = _kmeans_centroids(sample, n_lists)
+    cent_sq = (cent**2).sum(1)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        # argmin ||x-c||² = argmin c·c - 2 x·c
+        d = cent_sq[None, :] - 2.0 * (mat @ cent.T)
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    with_list = emb.withColumn("ivf_list", assign(F.col(vec_col)))
+    qrow = emb.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    if not qrow:
+        return emb.sparkSession.createDataFrame([], "vec_id long, cos_sim double")
+    qv = np.asarray(qrow[0][0], dtype=np.float64)
+    probe = np.argsort(cent_sq - 2.0 * (cent @ qv))[:n_probe].tolist()
+    cand = with_list.where(F.col("ivf_list").isin(probe))
+    q = emb.where(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("qv"))
+    j = cand.crossJoin(F.broadcast(q))
+    cos = _dot(F.col(vec_col), F.col("qv")) / (_norm(F.col(vec_col)) * _norm(F.col("qv")))
+    return (
+        j.select(F.col(id_col).alias("vec_id"), F.round(cos, 4).alias("cos_sim"))
+        .where(F.col("vec_id") != query_vec_id)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def pairwise_above(
     emb: DataFrame,
     threshold: float,

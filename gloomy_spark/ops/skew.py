@@ -1,0 +1,68 @@
+"""Explicit skew-handling utilities (north rule: "partitioning / shuffle /
+skew handled explicitly").
+
+Where skew lives in this engine and what handles it:
+
+1. postings build — NO per-term shuffle exists anymore (per-partition
+   Arrow inversion), so head terms never form a hot key;
+2. dictionary df/cf — groupBy(term) relies on map-side partial
+   aggregation: every task emits at most |local vocab| rows per term, so
+   "the" contributes one partial row per task, not one row per posting;
+   `salted_term_stats` below is the explicit two-phase form for engines
+   where partial agg is unavailable (e.g. collect_list-style payloads);
+3. segment writing — repartitionByRange(term_id, doc_id) splits a head
+   term's postings across many range partitions (each a doc slice);
+4. LSH band buckets — boilerplate-heavy corpora create giant buckets
+   whose self-join is quadratic; `cap_buckets` bounds any bucket to a
+   sample of `max_bucket` members (candidate recall trades against the
+   quadratic blowup, standard at web scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salted_term_stats(
+    postings: DataFrame, salt_factor: int = 32, term_col: str = "term"
+) -> DataFrame:
+    """Explicit two-phase (salted) aggregation: (term, salt) partials →
+    term totals. Equivalent to what partial aggregation does implicitly;
+    used when an agg lacks map-side combine or a single reducer key would
+    otherwise receive a head term's full posting list."""
+    salt = (F.crc32(F.col("doc_id").cast("string")) % salt_factor).alias("_salt")
+    partial = (
+        postings.select(term_col, "tf", salt)
+        .groupBy(term_col, "_salt")
+        .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
+    )
+    return partial.groupBy(term_col).agg(
+        F.sum("pdf").cast("long").alias("df"),
+        F.sum("pcf").cast("long").alias("cf"),
+    )
+
+
+def cap_buckets(
+    keyed: DataFrame,
+    key_cols: list[str],
+    max_bucket: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Bound any join bucket to `max_bucket` deterministic members.
+
+    Uses a per-bucket rank; the window itself would re-concentrate the hot
+    key on one task, so the rank runs over a SALTED sub-bucket first and
+    keeps `max_bucket // n_salts` per sub-bucket — no single task ever
+    sees a whole giant bucket."""
+    n_salts = 8
+    per_salt = max(1, max_bucket // n_salts)
+    salted = keyed.withColumn(
+        "_salt", (F.crc32(F.col(order_col).cast("string")) % n_salts)
+    )
+    w = Window.partitionBy(*key_cols, "_salt").orderBy(order_col)
+    return (
+        salted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= per_salt)
+        .drop("_rn", "_salt")
+    )
