@@ -13,7 +13,14 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# robust to being loaded by file path from any cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession
 
