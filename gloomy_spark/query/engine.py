@@ -177,6 +177,7 @@ class SearchIndex:
         from ..session import ship_package
 
         ship_package(spark)
+        self._term_map: dict[str, tuple[int, float]] | None = None
         self.spark = spark
         self.store = IndexStore(index_dir)
         self.manifest = Manifest.load(index_dir)
@@ -189,9 +190,18 @@ class SearchIndex:
         )
         self.docs = spark.read.parquet(self.store.docs_path)
 
+    # driver-side dictionary cap: the reference preloads col0 into memory
+    # (index.go:502-504); our analog is a driver/broadcast term map, only
+    # viable while the vocabulary fits comfortably on the driver
+    _TERM_MAP_LIMIT = 5_000_000
+
     def cache(self) -> "SearchIndex":
         self.terms.cache().count()
         self.segments.cache().count()
+        if self.manifest.n_terms <= self._TERM_MAP_LIMIT:
+            self._term_map = {
+                r["term"]: (r["term_id"], r["idf"]) for r in self.terms.collect()
+            }
         return self
 
     # ------------------------------------------------------ term search --
@@ -365,7 +375,6 @@ class SearchIndex:
     def bm25_topk(self, query: str, k: int = 10, use_blockmax: bool = True) -> DataFrame:
         """Top-k BM25: score desc, doc_id asc tie-break — rank-identical
         with the exhaustive oracle."""
-        qterms = self.query_terms(query)
         p = _Bm25Params(
             k1=self.cfg.bm25.k1,
             b=self.cfg.bm25.b,
@@ -373,10 +382,34 @@ class SearchIndex:
             k=k,
             use_blockmax=use_blockmax,
         )
-        cand = self.segments.join(F.broadcast(qterms), "term_id").select(
-            "doc_bucket", "first_doc", "last_doc", "n_docs", "max_score",
-            "docs", "tfs", "dls", "idf",
-        )
+        if self._term_map is not None:
+            # cached-dictionary fast path: term lookup on the driver, idf
+            # attached as a literal map — no terms scan in the query plan
+            toks = [
+                t
+                for t in dict.fromkeys(tokenize(query, self.cfg))
+                if t in self._term_map
+            ]
+            if not toks:
+                return self.spark.createDataFrame([], TOPK_SCHEMA)
+            ids = [self._term_map[t][0] for t in toks]
+            idf_map = F.create_map(
+                *[F.lit(x) for t in toks for x in self._term_map[t]]
+            )
+            cand = (
+                self.segments.where(F.col("term_id").isin(ids))
+                .withColumn("idf", idf_map[F.col("term_id")])
+                .select(
+                    "doc_bucket", "first_doc", "last_doc", "n_docs",
+                    "max_score", "docs", "tfs", "dls", "idf",
+                )
+            )
+        else:
+            qterms = self.query_terms(query)
+            cand = self.segments.join(F.broadcast(qterms), "term_id").select(
+                "doc_bucket", "first_doc", "last_doc", "n_docs", "max_score",
+                "docs", "tfs", "dls", "idf",
+            )
         per_bucket = cand.groupBy("doc_bucket").applyInPandas(
             _bucket_scorer(p), TOPK_SCHEMA
         )

@@ -149,3 +149,15 @@ def test_resume_after_injected_failure(spark, tmp_path):
 
     buckets = [json.loads(l)["bucket"] for l in lines]
     assert sorted(buckets) == [0, 1, 2]
+
+
+def test_cached_dictionary_fast_path_identical(built):
+    index, oracle, _ = built
+    from gloomy_spark.query.engine import SearchIndex
+
+    cached = SearchIndex(index.spark, index.store.index_dir).cache()
+    assert cached._term_map is not None
+    for q in ["the of kade nonexistentterm", "žluťoučký", "qqqzz"]:
+        a = [(r.doc_id, round(r.score, 9)) for r in index.bm25_topk(q, 10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in cached.bm25_topk(q, 10).collect()]
+        assert a == b, q
