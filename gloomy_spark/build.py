@@ -133,6 +133,9 @@ def assign_dense_ids(
         )
         .drop("_pid")
     )
+    # the persisted input must outlive the (lazy) output; the caller
+    # unpersists after materializing (see IndexBuilder terms write)
+    out._gloomy_persisted = parted  # type: ignore[attr-defined]
     return out
 
 
@@ -454,12 +457,18 @@ class IndexBuilder:
                 # postings of dropped terms vanish at the bucket dict-join
                 dict_df = dict_df.where(F.col("cf") >= min_term_freq)
             dict_df = assign_dense_ids(dict_df, "term", "term_id", shuffle_parts)
-            (
-                dict_df.withColumn("idf", bm25_idf(n_docs, F.col("df")))
-                .select("term", "term_id", "df", "cf", "idf")
-                .write.mode("overwrite")
-                .parquet(store.terms_path)
-            )
+            try:
+                (
+                    dict_df.withColumn("idf", bm25_idf(n_docs, F.col("df")))
+                    .select("term", "term_id", "df", "cf", "idf")
+                    .write.mode("overwrite")
+                    .parquet(store.terms_path)
+                )
+            finally:
+                # release the cache assign_dense_ids pinned for its offsets
+                dep = getattr(dict_df, "_gloomy_persisted", None)
+                if dep is not None:
+                    dep.unpersist()
         terms = self.spark.read.parquet(store.terms_path)
         n_terms = terms.count()
         stages["terms"] = round(time.time() - t0 - sum(stages.values()), 2)

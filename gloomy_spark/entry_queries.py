@@ -79,19 +79,23 @@ _INDEX_CACHE: dict[str, object] = {}
 _CACHE_VERSION = 2
 
 
-def _index_for(spark: SparkSession, sf_dir: str):
+def _index_for(spark: SparkSession, sf_dir: str, ngram_size: int = 1):
     """Build (or reuse from /tmp, across processes) the segment index over
-    this sf_dir's documents table."""
+    this sf_dir's documents table. ngram_size>1 builds the n-gram-term
+    index (the reference's native mode — its whole store is an n-gram
+    database, index/index.go:241-258)."""
     from .build import IndexBuilder
     from .index_store import Manifest
     from .query.engine import SearchIndex
 
-    if sf_dir in _INDEX_CACHE:
-        return _INDEX_CACHE[sf_dir]
+    key = (sf_dir, ngram_size)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
     # bump _CACHE_VERSION whenever build options for the cached index change
     slug = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    ng = f"_ng{ngram_size}" if ngram_size > 1 else ""
     idx_dir = os.path.join(
-        tempfile.gettempdir(), f"gloomy_idx_v{_CACHE_VERSION}_{slug}"
+        tempfile.gettempdir(), f"gloomy_idx_v{_CACHE_VERSION}{ng}_{slug}"
     )
     docs = _docs(spark, sf_dir)
     n = docs.count()
@@ -102,9 +106,11 @@ def _index_for(spark: SparkSession, sf_dir: str):
         ok = False
     if not ok:
         shutil.rmtree(idx_dir, ignore_errors=True)
-        IndexBuilder(spark, CFG).build(docs, idx_dir, n_buckets=2, lang_col="lang")
+        IndexBuilder(spark, CFG).build(
+            docs, idx_dir, n_buckets=2, lang_col="lang", ngram_size=ngram_size
+        )
     si = SearchIndex(spark, idx_dir)
-    _INDEX_CACHE[sf_dir] = si
+    _INDEX_CACHE[key] = si
     return si
 
 
@@ -196,6 +202,25 @@ def q_bm25_df(query: str, k: int):
     return fn, _bm25_sql(qterms, k)
 
 
+def _rounded_topk_rows(si, query: str, k: int) -> list:
+    """Exact top-k under (rounded score, doc_id) ordering: grow the exact-
+    score overfetch until the last fetched ROUNDED score strictly drops
+    below the k-th — only then can no unfetched doc enter via a rounded
+    tie + doc_id tie-break (a fixed overfetch is silently wrong when >m
+    docs tie at the rounded boundary)."""
+    m = 40
+    while True:
+        rows = (
+            si.bm25_topk(query, k=k + m, use_blockmax=True)
+            .select("doc_id", F.round("score", 4).alias("score"))
+            .collect()
+        )
+        rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+        if len(rows) < k + m or (len(rows) >= k and rows[-1]["score"] < rows[k - 1]["score"]):
+            return rows[:k]
+        m *= 4
+
+
 def q_bm25_wand(query: str, k: int):
     """Index-backed BM25 through the full segment/WAND path."""
     from .textnorm import tokenize
@@ -204,14 +229,52 @@ def q_bm25_wand(query: str, k: int):
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         si = _index_for(spark, sf_dir)
-        over = si.bm25_topk(query, k=k + 40, use_blockmax=True)
-        return (
-            over.select("doc_id", F.round("score", 4).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        rows = _rounded_topk_rows(si, query, k)
+        return spark.createDataFrame(rows, "doc_id long, score double")
 
     return fn, _bm25_sql(qterms, k)
+
+
+def q_bm25_batch(queries: list[str], k: int):
+    """MANY queries scored in ONE Spark job (bm25_topk_batch) — the
+    serving-throughput path; oracle = per-query BM25 SQL unioned with the
+    query index."""
+    from .textnorm import tokenize
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        m = 40
+        while True:
+            got = (
+                si.bm25_topk_batch(queries, k=k + m)
+                .select("query_id", "doc_id", F.round("score", 4).alias("score"))
+                .collect()
+            )
+            by_q: dict[int, list] = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], []).append(r)
+            ok = True
+            out = []
+            for qi in by_q:
+                rows = sorted(by_q[qi], key=lambda r: (-r["score"], r["doc_id"]))
+                if len(rows) >= k + m and rows[-1]["score"] >= rows[k - 1]["score"]:
+                    ok = False
+                    break
+                out.extend(rows[:k])
+            if ok:
+                return spark.createDataFrame(
+                    out, "query_id int, doc_id long, score double"
+                )
+            m *= 4
+
+    subqueries = []
+    for qi, q in enumerate(queries):
+        qterms = list(dict.fromkeys(tokenize(q, CFG)))
+        subqueries.append(
+            f"SELECT {qi} AS query_id, doc_id, score FROM (\n{_bm25_sql(qterms, k)}\n)"
+        )
+    sql = "\nUNION ALL\n".join(subqueries)
+    return fn, sql
 
 
 # -------------------------------------------------- dictionary / postings --
@@ -230,9 +293,11 @@ def q_term_dictionary():
             .select("term", "df", "cf", F.round(idf, 6).alias("idf"))
         )
 
+    # cast(sum(tf) AS bigint): DuckDB sum() yields HUGEINT (fetched as float64)
+    # while Spark emits int64 — the driver value-hash is dtype-sensitive.
     sql = f"""WITH {TOKS_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
-SELECT term, count(*) AS df, sum(tf) AS cf,
+SELECT term, count(*) AS df, cast(sum(tf) AS bigint) AS cf,
        round(ln(1 + ((SELECT count(*) FROM documents) - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
 FROM tf GROUP BY term"""
     return fn, sql
@@ -300,7 +365,7 @@ def q_prefix_search(prefix: str):
 
     sql = f"""WITH {TOKS_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf
+SELECT term, count(*) AS df, cast(sum(tf) AS bigint) AS cf FROM tf
 WHERE term LIKE '{prefix}%' GROUP BY term"""
     return fn, sql
 
@@ -314,8 +379,49 @@ def q_regexp_search(pattern: str):
     # Java rlike / DuckDB regexp_matches all behave identically here)
     sql = f"""WITH {TOKS_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf
+SELECT term, count(*) AS df, cast(sum(tf) AS bigint) AS cf FROM tf
 WHERE regexp_matches(term, '^{pattern}$') GROUP BY term"""
+    return fn, sql
+
+
+def q_ngram_index_counts(n: int):
+    """Dictionary of an index BUILT over n-gram terms (the reference's core
+    object, index/index.go:241-258) — validates the full build pipeline
+    (tokenize → segment-reset n-gram former → dict → segments) end-to-end
+    through the driver gate."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir, ngram_size=n)
+        return si.terms.select("term", "df", "cf")
+
+    sql = f"""WITH {_ngram_cte(n)}
+SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df,
+       cast(count(*) AS bigint) AS cf
+FROM ngrams GROUP BY term"""
+    return fn, sql
+
+
+def q_ngram_regexp(patterns: list[str]):
+    """Per-position regex search over the n-gram index (reference
+    searchByRegexp, service/search.go:136-172): first pattern narrows via
+    the regex→prefix compiler; every position post-filtered anchored."""
+    n = len(patterns)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir, ngram_size=n)
+        return si.search_ngram_regexp(patterns).select("term", "df", "cf")
+
+    conds = " AND ".join(
+        f"regexp_matches(split_part(term, ' ', {i + 1}), '^{p}$')"
+        for i, p in enumerate(patterns)
+    )
+    sql = f"""WITH {_ngram_cte(n)},
+agg AS (
+  SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df,
+         cast(count(*) AS bigint) AS cf
+  FROM ngrams GROUP BY term
+)
+SELECT term, df, cf FROM agg WHERE {conds}"""
     return fn, sql
 
 
@@ -347,12 +453,8 @@ def q_bm25_with_metadata(query: str, k: int):
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         si = _index_for(spark, sf_dir)
-        over = si.bm25_topk(query, k=k + 40, use_blockmax=True)
-        hits = (
-            over.select("doc_id", F.round("score", 4).alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        rows = _rounded_topk_rows(si, query, k)
+        hits = spark.createDataFrame(rows, "doc_id long, score double")
         return si.with_doc_metadata(hits, attrs=["lang", "doclen"])
 
     inner = _bm25_sql(qterms, k)
@@ -708,8 +810,13 @@ def registry() -> dict[str, tuple]:
         "bm25_topk": q_bm25_df("scan filter window the", 10),
         "bm25_topk_single": q_bm25_df("merge", 10),
         "bm25_wand_topk": q_bm25_wand("scan filter window the", 10),
+        "bm25_batch_topk": q_bm25_batch(
+            ["scan filter window the", "merge", "join hash batch"], 10
+        ),
         "bm25_with_metadata": q_bm25_with_metadata("merge group table", 10),
         "phrase_match": q_phrase_match("table hash"),
+        "bigram_index_counts": q_ngram_index_counts(2),
+        "ngram_regexp_search": q_ngram_regexp(["s[ct]an", "(tab|col).*"]),
         # dedup family
         "dedup_exact_groups": q_dedup_exact(),
         "dedup_keep_first": q_dedup_keep_first(),
@@ -722,7 +829,7 @@ def registry() -> dict[str, tuple]:
         "ann_cosine_topk": q_ann_cosine(0, 10),
         "ann_lsh_topk": q_ann_lsh(0, 10),
         "ann_ivf_topk": q_ann_ivf(0, 10),
-        "embedding_near_pairs": q_embedding_pairs(0.5),
+        "embedding_near_pairs": q_embedding_pairs(0.3),
         # text analysis
         "language_id": q_language_id(),
         "quality_score": q_quality_score(),

@@ -101,14 +101,19 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int | None = None,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): docs sharing ≥1 identical band.
 
     Band keys are hash-distributed, so the bucket join shuffles on
     (band, key) — no pairwise O(n²) work; only same-bucket docs meet.
-    Giant buckets (boilerplate-identical docs) are bounded upstream by
-    exact dedup; at 100 TB add a bucket-size cap before the self-join."""
+    The bucket-size cap is ON by default: a boilerplate-heavy corpus
+    makes one band bucket near-clique and its self-join quadratic, so any
+    bucket larger than `max_bucket` keeps only a deterministic sample of
+    members (ops/skew.cap_buckets) — candidate recall inside a capped
+    bucket degrades, which is the standard web-scale trade; buckets under
+    the cap (all buckets at oracle scale) are byte-identical to uncapped.
+    Pass max_bucket=None for the exact, uncapped join."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_k, text_col, id_col)
     band_cols = [
@@ -230,13 +235,17 @@ def lsh_jaccard_pipeline(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """The scale composition: MinHash-LSH candidate generation → exact
     jaccard rerank computed ONLY for candidate pairs (intersection via two
     shingle joins constrained to candidates). This is the 100 TB shape —
     the all-pairs `jaccard_pairs` below is the exact oracle-checkable
-    operator for small inputs."""
-    cand = minhash_lsh_pairs(docs, num_hashes, bands, shingle_k, text_col, id_col)
+    operator for small inputs. Bucket capping is inherited from
+    minhash_lsh_pairs (default-on; see its docstring)."""
+    cand = minhash_lsh_pairs(
+        docs, num_hashes, bands, shingle_k, text_col, id_col, max_bucket=max_bucket
+    )
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_k))).alias("sh"),

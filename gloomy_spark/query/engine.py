@@ -95,19 +95,29 @@ def _bucket_scorer(p: _Bm25Params):
         # piecewise-constant upper bound over doc ranges from metadata only
         ev_pos = np.concatenate([first, last + 1])
         ev_val = np.concatenate([bmax, -bmax])
+        ev_cnt = np.concatenate(
+            [np.ones(n_blocks, np.int64), -np.ones(n_blocks, np.int64)]
+        )
         order = np.argsort(ev_pos, kind="stable")
-        ev_pos, ev_val = ev_pos[order], ev_val[order]
+        ev_pos, ev_val, ev_cnt = ev_pos[order], ev_val[order], ev_cnt[order]
         # merge events at equal positions
         bounds, idx = np.unique(ev_pos, return_index=True)
         seg_ub = np.add.reduceat(ev_val, idx).cumsum()
-        # numerical dust from +x then -x cancellation
-        seg_ub[seg_ub < 1e-12] = 0.0
+        # open-block count tells us exactly where the +x/−x cumsum should
+        # cancel to zero: no magnitude epsilon, so legitimately tiny
+        # max_scores (idf→0 at df≈N) are never dropped. Where blocks ARE
+        # open, inflate the bound by one relative ulp-scale step so float
+        # cancellation error can only weaken pruning, never skip a block.
+        seg_open = np.add.reduceat(ev_cnt, idx).cumsum()
         # segment i covers [bounds[i], bounds[i+1]); last event closes all
         seg_starts = bounds[:-1]
         seg_ends = bounds[1:]
         seg_ub = seg_ub[:-1]
+        seg_open = seg_open[:-1]
+        pad = 1e-9 * float(np.abs(bmax).max()) if n_blocks else 0.0
+        seg_ub = np.where(seg_open > 0, seg_ub + pad, 0.0)
 
-        live = seg_ub > 0
+        live = seg_open > 0
         seg_starts, seg_ends, seg_ub = seg_starts[live], seg_ends[live], seg_ub[live]
         ub_order = np.argsort(-seg_ub, kind="stable")
 
@@ -276,15 +286,12 @@ class SearchIndex:
         )
 
     def slice(self, df: DataFrame, offset: int, limit: int) -> DataFrame:
-        """Q10 pagination: deterministic lexicographic order + offset/limit."""
-        from pyspark.sql import Window
+        """Q10 pagination: deterministic lexicographic order + offset/limit.
 
-        w = Window.orderBy("term")
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-            .drop("_rn")
-        )
+        offset+limit push down to the sort (CollectLimit / TakeOrdered) —
+        no single-partition window Exchange, so paging a 10⁹-term result
+        never materializes a global sort."""
+        return df.orderBy("term").offset(offset).limit(limit)
 
     # -------------------------------------------------------- postings --
     def postings(self, term: str) -> DataFrame:
@@ -335,37 +342,120 @@ class SearchIndex:
 
         return segs.mapInPandas(decode, "doc_id long, tf int, positions array<int>")
 
+    def _term_ids(self, terms: list[str]) -> dict[str, int] | None:
+        """term → term_id for the given terms; None if ANY term is absent
+        (a phrase containing an unindexed token can match nothing)."""
+        uniq = list(dict.fromkeys(terms))
+        if self._term_map is not None:
+            found = {t: self._term_map[t][0] for t in uniq if t in self._term_map}
+        else:
+            rows = self.terms.where(F.col("term").isin(uniq)).select(
+                "term", "term_id"
+            ).collect()
+            found = {r["term"]: r["term_id"] for r in rows}
+        return found if len(found) == len(uniq) else None
+
     def phrase_match(self, phrase: str) -> DataFrame:
         """Docs containing the exact token phrase (adjacent positions).
 
-        Distributed anchor-join: each term's positions are shifted by the
-        term's offset in the phrase; a doc matches where one anchor carries
-        every phrase slot. No driver-side loops over postings."""
+        Scale-safe plan (a phrase containing "the" must NOT explode the
+        corpus-wide position list of "the"): compressed posting blocks of
+        the phrase terms are shuffled once by doc_bucket, and inside each
+        group the matcher (a) intersects doc-id sets rarest-first from the
+        cheap doc payloads, (b) decodes POSITIONS only for blocks that
+        still overlap the surviving candidate docs, then (c) verifies
+        adjacency per candidate. No explode, no position decode for
+        non-candidate docs."""
         terms = tokenize(phrase, self.cfg)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long")
-        parts = []
-        for i, t in enumerate(terms):
-            p = (
-                self.postings_positions(t)
-                .select("doc_id", F.explode("positions").alias("p"))
-                .select(
-                    "doc_id",
-                    (F.col("p") - F.lit(i)).alias("anchor"),
-                    F.lit(i).alias("slot"),
-                )
-            )
-            parts.append(p)
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionAll(p)
-        return (
-            un.groupBy("doc_id", "anchor")
-            .agg(F.countDistinct("slot").alias("n_slots"))
-            .where(F.col("n_slots") == len(terms))
-            .select("doc_id")
-            .distinct()
+        tids = self._term_ids(terms)
+        if tids is None:
+            return self.spark.createDataFrame([], "doc_id long")
+        # term_id → phrase offsets (a repeated token occupies several slots)
+        slot_map: dict[int, list[int]] = {}
+        for slot, t in enumerate(terms):
+            slot_map.setdefault(int(tids[t]), []).append(slot)
+        n_terms_distinct = len(slot_map)
+
+        segs = self.segments.where(
+            F.col("term_id").isin(list(slot_map))
+        ).select(
+            "doc_bucket", "term_id", "first_doc", "last_doc", "n_docs",
+            "docs", "tfs", "dls", "pos_counts", "positions",
         )
+
+        def match(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": np.array([], dtype=np.int64)})
+            groups = {
+                int(tid): g.sort_values("first_doc")
+                for tid, g in pdf.groupby("term_id")
+            }
+            if len(groups) < n_terms_distinct:
+                return empty  # a phrase term has no postings in this bucket
+
+            # (a) doc-set intersection, rarest term first — positions unread
+            doc_sets: dict[int, np.ndarray] = {}
+            for tid, g in groups.items():
+                parts = [
+                    decode_posting_block(r["docs"], r["tfs"], r["dls"], int(r["n_docs"]))[0]
+                    for r in g.to_dict("records")
+                ]
+                doc_sets[tid] = np.concatenate(parts) if parts else np.array([], np.int64)
+            by_rarity = sorted(doc_sets, key=lambda t: len(doc_sets[t]))
+            cand = doc_sets[by_rarity[0]]
+            for tid in by_rarity[1:]:
+                cand = np.intersect1d(cand, doc_sets[tid], assume_unique=True)
+                if len(cand) == 0:
+                    return empty
+
+            # (b) positions only for candidate docs, in overlapping blocks
+            pos_by_tid: dict[int, dict[int, np.ndarray]] = {}
+            lo_c, hi_c = int(cand[0]), int(cand[-1])
+            for tid, g in groups.items():
+                docpos: dict[int, np.ndarray] = {}
+                for r in g.to_dict("records"):
+                    if r["last_doc"] < lo_c or r["first_doc"] > hi_c:
+                        continue
+                    n = int(r["n_docs"])
+                    d, _tf, _dl = decode_posting_block(
+                        r["docs"], r["tfs"], r["dls"], n
+                    )
+                    hit = np.isin(d, cand, assume_unique=True)
+                    if not hit.any():
+                        continue
+                    pos = decode_position_lists(r["pos_counts"], r["positions"], n)
+                    for i in np.nonzero(hit)[0]:
+                        docpos[int(d[i])] = pos[i].astype(np.int64)
+                pos_by_tid[tid] = docpos
+
+            # (c) adjacency: one anchor must carry every phrase slot
+            out: list[int] = []
+            for doc in cand.tolist():
+                anchors: np.ndarray | None = None
+                for tid, slots in slot_map.items():
+                    p = pos_by_tid[tid].get(doc)
+                    if p is None:
+                        anchors = None
+                        break
+                    for s in slots:
+                        shifted = p - s
+                        anchors = (
+                            shifted
+                            if anchors is None
+                            else np.intersect1d(anchors, shifted, assume_unique=True)
+                        )
+                        if len(anchors) == 0:
+                            break
+                    if anchors is not None and len(anchors) == 0:
+                        anchors = None
+                        break
+                if anchors is not None and len(anchors) > 0:
+                    out.append(doc)
+            return pd.DataFrame({"doc_id": np.array(out, dtype=np.int64)})
+
+        # doc_buckets are disjoint doc ranges → no cross-bucket duplicates
+        return segs.groupBy("doc_bucket").applyInPandas(match, "doc_id long")
 
     # ------------------------------------------------------------ BM25 --
     def query_terms(self, query: str) -> DataFrame:
@@ -414,3 +504,73 @@ class SearchIndex:
             _bucket_scorer(p), TOPK_SCHEMA
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def bm25_topk_batch(
+        self, queries: list[str], k: int = 10, use_blockmax: bool = True
+    ) -> DataFrame:
+        """Score MANY queries in ONE Spark job → (query_id, doc_id, score).
+
+        Serving-throughput path: per-query jobs pay Spark's scheduling
+        floor (~0.3-1s) each; batching amortizes it — one segments scan
+        covering the union of all query terms, one shuffle grouped by
+        (query_id, doc_bucket), and a PARTITIONED top-k window per query
+        (never a global single-task sort). query_id is the queries-list
+        index. Queries with no indexed terms simply emit no rows."""
+        p = _Bm25Params(
+            k1=self.cfg.bm25.k1,
+            b=self.cfg.bm25.b,
+            avgdl=self.manifest.avgdl,
+            k=k,
+            use_blockmax=use_blockmax,
+        )
+        toks_by_q = {
+            qi: list(dict.fromkeys(tokenize(q, self.cfg))) for qi, q in enumerate(queries)
+        }
+        all_toks = list(dict.fromkeys(t for ts in toks_by_q.values() for t in ts))
+        if self._term_map is not None:
+            lookup = {t: self._term_map[t] for t in all_toks if t in self._term_map}
+        else:
+            lookup = {
+                r["term"]: (r["term_id"], r["idf"])
+                for r in self.terms.where(F.col("term").isin(all_toks))
+                .select("term", "term_id", "idf")
+                .collect()
+            }
+        qmap_rows = [
+            (qi, lookup[t][0], float(lookup[t][1]))
+            for qi, ts in toks_by_q.items()
+            for t in ts
+            if t in lookup
+        ]
+        if not qmap_rows:
+            return self.spark.createDataFrame([], "query_id int, " + TOPK_SCHEMA)
+        qmap = self.spark.createDataFrame(
+            qmap_rows, "query_id int, term_id long, idf double"
+        )
+        ids = sorted({r[1] for r in qmap_rows})
+        cand = (
+            self.segments.where(F.col("term_id").isin(ids))
+            .join(F.broadcast(qmap), "term_id")
+            .select(
+                "query_id", "doc_bucket", "first_doc", "last_doc", "n_docs",
+                "max_score", "docs", "tfs", "dls", "idf",
+            )
+        )
+        base = _bucket_scorer(p)
+
+        def score_q(key, pdf):
+            out = base(pdf)
+            out.insert(0, "query_id", np.int32(key[0]))
+            return out
+
+        per = cand.groupBy("query_id", "doc_bucket").applyInPandas(
+            score_q, "query_id int, " + TOPK_SCHEMA
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )

@@ -44,7 +44,7 @@ class SearchService:
             res = si.search_prefix(q)
         else:
             res = si.search_exact(q)
-        res = si.slice(res, offset, offset + limit) if offset else res.limit(limit)
+        res = si.slice(res, offset, limit) if offset else res.limit(limit)
         rows = [r.asDict() for r in res.collect()]
         return {"size": len(rows), "rows": rows, "searchTime": round(time.time() - t0, 4)}
 

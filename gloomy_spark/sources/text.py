@@ -50,8 +50,11 @@ def read_plaintext_docs(
             yield pd.DataFrame(rows, columns=["path", "line_no", "text"])
 
     decoded = bf.mapInPandas(decode, "path string, line_no long, text string")
+    # 64-bit hash of the full (path, line) pair — no 32-bit fold / abs()
+    # sign squash, so distinct documents don't silently merge at large
+    # file counts (birthday bound moves from 2^16 to 2^32 files·lines)
     return decoded.select(
-        F.abs(F.hash("path").cast("long") * F.lit(1 << 20) + F.col("line_no")).alias("doc_id"),
+        F.xxhash64("path", "line_no").alias("doc_id"),
         "text",
     )
 
@@ -62,7 +65,7 @@ def read_wholefile_docs(spark: SparkSession, path: str) -> DataFrame:
         "url", F.input_file_name()
     )
     return df.select(
-        F.abs(F.hash("url")).cast("long").alias("doc_id"),
+        F.xxhash64("url").alias("doc_id"),
         "url",
         F.col("value").alias("text"),
     )

@@ -91,8 +91,9 @@ def read_vertical_docs(
         f", {a} string" for a in attrs
     )
     parsed = bf.mapInPandas(run, schema)
+    # 64-bit (path, seq) hash — see sources/text.py doc_id rationale
     return parsed.select(
-        F.abs(F.hash("path").cast("long") * F.lit(1 << 20) + F.col("seq")).alias("doc_id"),
+        F.xxhash64("path", "seq").alias("doc_id"),
         "text",
         *attrs,
     )

@@ -54,6 +54,14 @@ QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
 
+def _dtype_kinds(pdf):
+    """Column → numpy dtype kind, as the driver's pandas-level value hash
+    sees it ('i' int, 'f' float, 'O' object, 'b' bool...). DuckDB HUGEINT
+    fetches as float64, so an un-cast sum(tf) mismatches Spark's int64 here
+    — exactly the driver's dtype sensitivity."""
+    return {c: pdf[c].dtype.kind for c in pdf.columns}
+
+
 @pytest.mark.spark
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, name):
@@ -61,13 +69,25 @@ def test_query_matches_oracle(spark, name):
     sdf = fn(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_kinds = _dtype_kinds(sdf.limit(50).toPandas())
 
     con = _duck()
     res = con.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = res.fetchdf()
+    duck_rows = [tuple(r) for r in duck_pdf.itertuples(index=False, name=None)]
+    duck_kinds = _dtype_kinds(duck_pdf)
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: schema mismatch"
+    for c in spark_cols:
+        sk, dk = spark_kinds[c], duck_kinds[c]
+        # empty results fetch as object on both sides in different ways
+        if len(duck_rows) == 0 or len(spark_rows) == 0:
+            break
+        assert sk == dk, (
+            f"{name}: dtype-kind mismatch on {c!r}: spark {sk} vs oracle {dk} "
+            "(driver value hash is dtype-sensitive — cast the oracle SQL)"
+        )
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
     )
