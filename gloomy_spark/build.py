@@ -351,6 +351,7 @@ class IndexBuilder:
         text_col: str = "text",
         url_col: str | None = None,
         lang_col: str | None = None,
+        attr_cols: list[str] | None = None,
         n_buckets: int = 4,
         resume: bool = True,
         input_snapshot: str = "",
@@ -366,7 +367,12 @@ class IndexBuilder:
         apply inside the n-gram former. min_term_freq mirrors the
         reference's minNgramFreq HAVING filter (builder.go:199).
         term_filter is the custom-filter hook (filter.go:34 .so plugin →
-        a Column-predicate callable, JVM-side when built from builtins)."""
+        a Column-predicate callable, JVM-side when built from builtins).
+        attr_cols are extra per-document attributes (e.g. a vertical
+        corpus's `doc.file`, conf-sample.json args → metadata.go:25-28)
+        kept in the docs dimension; every n-gram hit recovers them via the
+        broadcast metadata join (with_doc_metadata) — the dictionary-
+        encoded analog of the reference's per-record args columns."""
         cfg = self.cfg
         # big Arrow batches: the writer/inverter do O(1) python work per
         # batch, so 10k-row default batches = 8000 needless round trips at
@@ -381,11 +387,13 @@ class IndexBuilder:
         stages: dict[str, float] = {}
         shuffle_parts = cfg.shuffle_partitions
 
+        attr_cols = attr_cols or []
         base = docs.select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(text_col).alias("text"),
             *( [F.col(url_col).alias("url")] if url_col else [F.lit(None).cast("string").alias("url")] ),
             *( [F.col(lang_col).alias("lang")] if lang_col else [F.lit(None).cast("string").alias("lang")] ),
+            *[F.col(a) for a in attr_cols],
         )
 
         # --------------------------------------------------------- tokens/
@@ -430,11 +438,12 @@ class IndexBuilder:
         if not (resume and store.stage_done("docs")):
             dls = postings.groupBy("doc_id").agg(F.first("dl").alias("doclen"))
             (
-                base.select("doc_id", "url", "lang")
+                base.select("doc_id", "url", "lang", *attr_cols)
                 .join(dls, "doc_id", "left")
                 .select(
                     "doc_id", "url", "lang",
                     F.coalesce("doclen", F.lit(0)).cast("int").alias("doclen"),
+                    *attr_cols,
                 )
                 .write.mode("overwrite")
                 .parquet(store.docs_path)

@@ -1,0 +1,182 @@
+"""Command-line entry point (reference gloomy.go:142-162 dispatch parity:
+create-index / search / extract-ngrams / search-service, plus the bm25
+command for the engine's ranking surface).
+
+Run as ``python -m gloomy_spark <command> ...``. Every command prints one
+JSON object per result row (or a summary object) to stdout, so output is
+scriptable. A SparkSession can be injected for tests via main(spark=...).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="gloomy_spark")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    ci = sub.add_parser("create-index", help="build an index from a corpus")
+    ci.add_argument("--input", required=True, help="corpus path (glob ok)")
+    ci.add_argument("--out", required=True, help="index output directory")
+    ci.add_argument(
+        "--format", default="text",
+        choices=["text", "vertical", "wholefile", "parquet"],
+    )
+    ci.add_argument("--charset", default="utf-8")
+    ci.add_argument("--ngram-size", type=int, default=1)
+    ci.add_argument("--min-freq", type=int, default=1)
+    ci.add_argument("--buckets", type=int, default=4)
+    ci.add_argument("--attrs", default="", help="comma-separated vertical attrs")
+    ci.add_argument("--no-positions", action="store_true")
+
+    se = sub.add_parser("search", help="dictionary search")
+    se.add_argument("--index", required=True)
+    se.add_argument("--query", required=True)
+    se.add_argument("--qtype", default="default", choices=["default", "prefix", "regexp"])
+    se.add_argument("--offset", type=int, default=0)
+    se.add_argument("--limit", type=int, default=10)
+
+    bm = sub.add_parser("bm25", help="BM25 top-k ranking")
+    bm.add_argument("--index", required=True)
+    bm.add_argument("--query", required=True)
+    bm.add_argument("-k", type=int, default=10)
+    bm.add_argument("--attrs", default="", help="metadata attrs to join")
+
+    ex = sub.add_parser("extract-ngrams", help="dump (term, cf) TSV")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--min-freq", type=int, default=1)
+
+    sv = sub.add_parser("search-service", help="HTTP search service")
+    sv.add_argument(
+        "--corpus", action="append", required=True,
+        help="name=index_dir (repeatable)",
+    )
+    sv.add_argument("--port", type=int, default=8090)
+
+    for p in (ci, se, bm, ex, sv):
+        p.add_argument("--master", default="local[*]")
+        p.add_argument("--shuffle-partitions", type=int, default=32)
+    return ap
+
+
+def _session(args):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(args.master)
+        .appName(f"gloomy-{args.command}")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _emit(obj) -> None:
+    sys.stdout.write(json.dumps(obj, default=str) + "\n")
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = _build_parser().parse_args(argv)
+    spark = spark or _session(args)
+
+    if args.command == "create-index":
+        from .build import IndexBuilder
+        from .config import EngineConfig
+        from .sources import (
+            read_plaintext_docs,
+            read_vertical_docs,
+            read_wholefile_docs,
+        )
+
+        attrs = [a for a in args.attrs.split(",") if a]
+        if args.format == "text":
+            docs = read_plaintext_docs(spark, args.input, charset=args.charset)
+        elif args.format == "vertical":
+            docs = read_vertical_docs(spark, args.input, attrs=attrs)
+        elif args.format == "wholefile":
+            docs = read_wholefile_docs(spark, args.input)
+        else:
+            docs = spark.read.parquet(args.input)
+        cfg = EngineConfig(
+            shuffle_partitions=args.shuffle_partitions,
+            store_positions=not args.no_positions,
+        )
+        url_col = "url" if "url" in docs.columns else None
+        manifest = IndexBuilder(spark, cfg).build(
+            docs, args.out,
+            url_col=url_col,
+            n_buckets=args.buckets,
+            ngram_size=args.ngram_size,
+            min_term_freq=args.min_freq,
+            attr_cols=attrs,
+            input_snapshot=args.input,
+        )
+        _emit(
+            {
+                "n_docs": manifest.n_docs,
+                "n_terms": manifest.n_terms,
+                "postings": manifest.postings_total,
+                "build_seconds": round(manifest.build_seconds, 3),
+                "docs_per_sec": round(manifest.docs_per_sec, 1),
+            }
+        )
+        return 0
+
+    if args.command == "search":
+        from .query.engine import SearchIndex
+
+        si = SearchIndex(spark, args.index)
+        if args.qtype == "regexp":
+            res = si.search_regexp(args.query)
+        elif args.qtype == "prefix" or args.query.endswith("*"):
+            res = si.search_prefix(args.query)
+        else:
+            res = si.search_exact(args.query)
+        for r in si.slice(res, args.offset, args.limit).collect():
+            _emit(r.asDict())
+        return 0
+
+    if args.command == "bm25":
+        from .query.engine import SearchIndex
+
+        si = SearchIndex(spark, args.index)
+        hits = si.bm25_topk(args.query, args.k)
+        attrs = [a for a in args.attrs.split(",") if a]
+        if attrs:
+            hits = si.with_doc_metadata(hits, attrs)
+        for r in hits.collect():
+            _emit(r.asDict())
+        return 0
+
+    if args.command == "extract-ngrams":
+        from .query.engine import SearchIndex
+
+        si = SearchIndex(spark, args.index)
+        si.export_ngrams_tsv(args.out, min_freq=args.min_freq)
+        _emit({"out": args.out, "min_freq": args.min_freq})
+        return 0
+
+    if args.command == "search-service":
+        from .service import SearchService
+
+        corpora = dict(c.split("=", 1) for c in args.corpus)
+        svc = SearchService(spark, corpora)
+        port = svc.start(args.port)
+        _emit({"listening": port, "corpora": sorted(corpora)})
+        try:
+            import threading
+
+            threading.Event().wait()  # serve until interrupted
+        except KeyboardInterrupt:
+            svc.stop()
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

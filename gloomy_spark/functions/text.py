@@ -9,6 +9,8 @@ property-style random inputs).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,10 +32,35 @@ def doclen_col(text: Column, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
     return F.size(tokens_col(text, cfg))
 
 
+_BOUNDARY = "[,.\\s;?!:]"  # full split class, for token-exact lookaround
+# segment marker injected for multi-char stop words: must be OUTSIDE the
+# token split class (a plain space would only split tokens, not segments)
+_MARKER = "\x00"
+
+
 def segments_col(text: Column, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
     """array<array<string>>: token lists per stop-delimited segment (empty
-    segments removed). N-gram windows never cross segments."""
-    segs = F.split(F.lower(text), stop_char_class(cfg))
+    segments removed). N-gram windows never cross segments.
+
+    Multi-char stop strings are TOKEN-level window resets (the reference's
+    isStopWord, builder.go:91-98): each occurrence bounded by split
+    characters (or string edges) is rewritten to a reserved segment-marker
+    char before the split, matching ``textnorm.segments`` exactly (the two
+    are property-tested equal)."""
+    lowered = F.lower(text)
+    seg_class = stop_char_class(cfg)
+    # a stop string containing a split char can never appear as one token,
+    # so it never resets in the pinned semantics either — skip it
+    multi = [
+        s for s in cfg.stop_strings
+        if len(s) > 1 and not re.search(FULL_SPLIT_PATTERN, s)
+    ]
+    if multi:
+        for s in multi:
+            pat = f"(?<=^|{_BOUNDARY}){re.escape(s.lower())}(?=$|{_BOUNDARY})"
+            lowered = F.regexp_replace(lowered, pat, _MARKER)
+        seg_class = seg_class[:-1] + _MARKER + "]"
+    segs = F.split(lowered, seg_class)
     tok = non_stop_split_pattern(cfg)
     per_seg = F.transform(segs, lambda s: _drop_noise(F.split(s, tok), cfg))
     return F.filter(per_seg, lambda a: F.size(a) > 0)

@@ -9,9 +9,12 @@ structure attributes become per-n-gram metadata (builder.go:131-139).
 
 This implementation parses whole vertical files (optionally .gz) into
 documents: (doc_id, text, <struct attrs...>). Tokens inside one structure
-are space-joined, so the engine tokenizer reproduces the token stream;
-window-reset at structure boundaries is inherited because n-grams never
-cross document rows.
+are space-joined; every NON-doc structure tag (<s>, <p>, …, opening or
+closing) injects a stop-character boundary marker into the token stream,
+so the engine tokenizer reproduces the reference's window reset
+(builder.go:142-144 ProcToken(nil)): unigram stream and doclen are
+unchanged (the marker is a split character and vanishes), but n-gram
+windows never cross the structure boundary.
 """
 
 from __future__ import annotations
@@ -27,12 +30,29 @@ _OPEN_RE = re.compile(r"<(\w+)((?:\s+\w+=\"[^\"]*\")*)\s*/?>")
 _ATTR_RE = re.compile(r"(\w+)=\"([^\"]*)\"")
 
 
-def parse_vertical(body: str, doc_tag: str = "doc") -> list[dict]:
-    """Pure-Python vertical parser (pinned semantics, reused in tests)."""
+def parse_vertical(
+    body: str, doc_tag: str = "doc", boundary_marker: str = "."
+) -> list[dict]:
+    """Pure-Python vertical parser (pinned semantics, reused in tests).
+
+    `boundary_marker` is injected between token runs at every non-doc
+    structure tag; it must be one of the engine's stop characters
+    (default '.'), which makes the tokenizer reset the n-gram window at
+    the boundary exactly like the reference's ProcToken(nil)
+    (builder.go:142-144) while leaving the unigram stream unchanged."""
     docs: list[dict] = []
     cur_tokens: list[str] = []
     cur_attrs: dict[str, str] = {}
     in_doc = False
+
+    def mark_boundary() -> None:
+        if cur_tokens and cur_tokens[-1] != boundary_marker:
+            cur_tokens.append(boundary_marker)
+
+    def finish_doc() -> dict:
+        toks = cur_tokens[:-1] if cur_tokens and cur_tokens[-1] == boundary_marker else cur_tokens
+        return {"attrs": dict(cur_attrs), "text": " ".join(toks)}
+
     for line in body.splitlines():
         line = line.rstrip("\n")
         if not line:
@@ -40,24 +60,27 @@ def parse_vertical(body: str, doc_tag: str = "doc") -> list[dict]:
         if line.startswith("</"):
             tag = line[2:].rstrip(">").strip()
             if tag == doc_tag and in_doc:
-                docs.append({"attrs": dict(cur_attrs), "text": " ".join(cur_tokens)})
+                docs.append(finish_doc())
                 cur_tokens, cur_attrs, in_doc = [], {}, False
+            else:
+                mark_boundary()
             continue
         if line.startswith("<"):
             m = _OPEN_RE.match(line)
             if m and m.group(1) == doc_tag:
                 if in_doc and cur_tokens:
-                    docs.append({"attrs": dict(cur_attrs), "text": " ".join(cur_tokens)})
+                    docs.append(finish_doc())
                 cur_attrs = dict(_ATTR_RE.findall(m.group(2) or ""))
                 cur_tokens = []
                 in_doc = True
-            # non-doc structures (<s>, <p>, …) are window boundaries; we
-            # keep them implicit (token runs stay within one doc row)
+            else:
+                # non-doc structure (<s>, <p>, …): n-gram window boundary
+                mark_boundary()
             continue
         # token line: first tab-separated column is the word form
         cur_tokens.append(line.split("\t", 1)[0])
     if in_doc and cur_tokens:
-        docs.append({"attrs": dict(cur_attrs), "text": " ".join(cur_tokens)})
+        docs.append(finish_doc())
     return docs
 
 

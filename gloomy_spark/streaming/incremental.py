@@ -107,21 +107,23 @@ class IncrementalIndexer:
 
     # --------------------------------------------------------- compact --
     def compact(self, index_dir: str, n_buckets: int = 2):
-        """Merge all runs into a fresh block-compressed index. Runs may
-        contain re-aggregated duplicates only if the same doc appeared in
-        two input files — resolved by summing tf (last-write-wins is not
-        meaningful for append-only corpora)."""
+        """Merge all runs into a fresh block-compressed index.
+
+        A doc_id appearing in MULTIPLE runs means the document was
+        re-ingested (checkpointing already guarantees each input file is
+        processed once) — resolved LAST-RUN-WINS: only the newest run's
+        postings for that doc survive, so dl, tf and positions stay
+        mutually consistent (summing tf across runs would double-count dl
+        and produce overlapping position lists)."""
         from ..build import IndexBuilder
 
-        runs = self.spark.read.parquet(os.path.join(self.runs_dir, "run=*"))
+        runs = (
+            self.spark.read.option("basePath", self.runs_dir)
+            .parquet(os.path.join(self.runs_dir, "run=*"))
+        )
         cfg = self.cfg
-        agg = [
-            F.sum("tf").cast("int").alias("tf"),
-            F.first("dl").alias("dl"),
-        ]
-        if cfg.store_positions:
-            agg.append(F.flatten(F.sort_array(F.collect_list("positions"))).alias("positions"))
-        merged = runs.groupBy("term", "doc_id").agg(*agg)
+        latest = runs.groupBy("doc_id").agg(F.max("run").alias("run"))
+        merged = runs.join(latest, ["doc_id", "run"], "inner").drop("run")
 
         # the batch builder accepts prebuilt postings via its internal
         # staging path: write them where the builder's resume logic looks
@@ -129,10 +131,10 @@ class IncrementalIndexer:
         postings_path = os.path.join(index_dir, "postings_raw")
         merged.write.mode("overwrite").parquet(postings_path)
 
-        # docs table from the runs (doc_id, doclen)
+        # docs table from the surviving (last-run) postings (doc_id, doclen)
         docs_path = os.path.join(index_dir, "docs")
         (
-            runs.groupBy("doc_id")
+            merged.groupBy("doc_id")
             .agg(F.first("dl").alias("doclen"))
             .select(
                 "doc_id",

@@ -104,6 +104,151 @@ def test_slice_plan_has_no_window(small_index):
     assert len(df.collect()) == 3
 
 
+def test_vertical_structure_resets_ngram_windows():
+    """Golden: bigrams never cross a mid-doc <s> boundary (the space-joined
+    behavior would emit 'world again')."""
+    from gloomy_spark.sources.vertical import parse_vertical
+    from gloomy_spark.textnorm import ngrams, tokenize
+
+    body = (
+        '<doc file="a" n="1">\n'
+        "<s>\nHello\tUH\nworld\tNN\n</s>\n"
+        "<s>\nagain\tRB\nhello\tUH\n</s>\n"
+        "</doc>\n"
+    )
+    (doc,) = parse_vertical(body)
+    assert tokenize(doc["text"]) == ["hello", "world", "again", "hello"]
+    assert ngrams(doc["text"], 2) == ["hello world", "again hello"]
+
+
+@pytest.mark.spark
+def test_segments_col_multichar_stop_parity(spark):
+    """A token-level stop word (reference isStopWord, builder.go:91-98)
+    resets windows identically in the pinned-Python and Spark column
+    paths."""
+    from gloomy_spark import textnorm
+    from gloomy_spark.functions.text import ngrams_col, segments_col
+
+    cfg = EngineConfig(stop_strings=(".", ":", "stopword"), ignore_strings=('"', ","))
+    texts = [
+        "alpha beta stopword gamma delta",
+        "stopword alpha stopword",
+        "Alpha STOPWORD beta. gamma stopword",
+        "nostopword alpha stopwordx beta",  # substrings must NOT reset
+        "a,stopword;b",
+        "",
+        "stopword",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select(
+        "text",
+        segments_col(F.col("text"), cfg).alias("segs"),
+        ngrams_col(F.col("text"), 2, cfg).alias("bi"),
+    ).collect()
+    for r in got:
+        want_segs = textnorm.segments(r["text"], cfg)
+        want_bi = textnorm.ngrams(r["text"], 2, cfg)
+        assert [list(s) for s in r["segs"]] == want_segs, r["text"]
+        assert list(r["bi"]) == want_bi, r["text"]
+
+
+@pytest.mark.spark
+def test_compact_last_run_wins_on_reingested_doc(spark, tmp_path):
+    """A doc_id re-ingested in a later file must index its LATEST content
+    (summing tf across runs double-counts dl and overlaps positions)."""
+    from gloomy_spark.streaming.incremental import IncrementalIndexer
+
+    input_dir = str(tmp_path / "in")
+    old = [(0, "old words that vanish entirely"), (1, "stable other document")]
+    new = [(0, "fresh replacement text appears here now")]
+    spark.createDataFrame(old, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(input_dir)
+    inc = IncrementalIndexer(spark, str(tmp_path / "work"), CFG)
+    q = inc.start(input_dir, "doc_id long, text string")
+    q.awaitTermination(60)
+    spark.createDataFrame(new, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(input_dir)
+    q = inc.start(input_dir, "doc_id long, text string")
+    q.awaitTermination(60)
+
+    idx_dir = str(tmp_path / "idx")
+    manifest = inc.compact(idx_dir, n_buckets=1)
+    assert manifest.n_docs == 2
+
+    batch_dir = str(tmp_path / "idx_batch")
+    latest = [(0, new[0][1]), (1, old[1][1])]
+    IndexBuilder(spark, CFG).build(
+        spark.createDataFrame(latest, "doc_id long, text string"),
+        batch_dir, n_buckets=1,
+    )
+    si_s, si_b = SearchIndex(spark, idx_dir), SearchIndex(spark, batch_dir)
+    ta = sorted((r.term, r.df, r.cf) for r in si_s.terms.collect())
+    tb = sorted((r.term, r.df, r.cf) for r in si_b.terms.collect())
+    assert ta == tb
+    assert si_s.phrase_match("replacement text").count() == 1
+    assert si_s.phrase_match("old words").count() == 0
+
+
+@pytest.mark.spark
+def test_attr_cols_metadata_on_ngram_hits(spark, tmp_path):
+    """Per-n-gram structure attrs (reference metadata.go:25-28 args
+    columns): carried via the docs dimension, recovered per hit."""
+    from gloomy_spark.sources import read_vertical_docs
+
+    p = tmp_path / "corp.vert"
+    p.write_text(
+        '<doc file="x.txt" n="1">\nred\tA\nfox\tB\n</doc>\n'
+        '<doc file="y.txt" n="2">\nred\tA\nfox\tB\nred\tA\n</doc>\n'
+    )
+    docs = read_vertical_docs(spark, str(p), attrs=["file"])
+    idx = str(tmp_path / "vidx")
+    IndexBuilder(spark, CFG).build(
+        docs, idx, n_buckets=1, ngram_size=2, attr_cols=["file"]
+    )
+    si = SearchIndex(spark, idx)
+    hits = si.postings("red fox").select("doc_id", "tf")
+    rows = si.with_doc_metadata(hits, attrs=["file"]).collect()
+    assert sorted(r["file"] for r in rows) == ["x.txt", "y.txt"]
+
+
+@pytest.mark.spark
+def test_cli_roundtrip(spark, tmp_path, capsys):
+    """CLI parity with the reference dispatch (gloomy.go:142-162):
+    create-index → search → bm25 → extract-ngrams on a tiny corpus."""
+    from gloomy_spark.cli import main
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("the quick brown fox\nthe slow red fox\nquick red dog\n")
+    idx = str(tmp_path / "cli_idx")
+
+    assert main(["create-index", "--input", str(corpus), "--out", idx,
+                 "--buckets", "1", "--shuffle-partitions", "4"], spark=spark) == 0
+    built = json.loads(capsys.readouterr().out.strip())
+    assert built["n_docs"] == 3 and built["n_terms"] == 7
+
+    assert main(["search", "--index", idx, "--query", "qu*",
+                 "--qtype", "prefix"], spark=spark) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert [r["term"] for r in rows] == ["quick"] and rows[0]["cf"] == 2
+
+    assert main(["bm25", "--index", idx, "--query", "quick fox", "-k", "2"],
+                spark=spark) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert len(rows) == 2 and rows[0]["score"] >= rows[1]["score"]
+
+    out_tsv = str(tmp_path / "ngrams_tsv")
+    assert main(["extract-ngrams", "--index", idx, "--out", out_tsv,
+                 "--min-freq", "2"], spark=spark) == 0
+    import glob
+
+    lines = []
+    for f in glob.glob(out_tsv + "/part-*"):
+        lines += open(f).read().splitlines()
+    assert {l.split("\t")[0] for l in lines} == {"the", "quick", "red", "fox"}
+
+
 @pytest.mark.spark
 def test_service_nonzero_offset(spark, tmp_path):
     from gloomy_spark.service import SearchService
