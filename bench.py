@@ -83,6 +83,12 @@ def main() -> None:
 
     timed("q_bm25_wand_10q", run_wand)
     extra["bm25_q_per_sec"] = round(len(bm25_queries) / timings["q_bm25_wand_10q"], 2)
+
+    # batched serving: all 40 queries in ONE Spark job (shared segments
+    # scan + partitioned per-query top-k) — the throughput headline
+    batch_qs = [bm25_queries[i % len(bm25_queries)] for i in range(40)]
+    timed("q_bm25_batch_40q", lambda: si.bm25_topk_batch(batch_qs, 10).collect())
+    extra["bm25_batch_q_per_sec"] = round(40 / timings["q_bm25_batch_40q"], 2)
     timed("q_postings_decode", lambda: si.postings("scan").count())
     timed("q_prefix_search", lambda: si.search_prefix("s").collect())
     timed("q_regexp_search", lambda: si.search_regexp("s[ct]an").collect())

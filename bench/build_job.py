@@ -59,6 +59,8 @@ def main() -> None:
     build_sec = time.time() - t0
 
     qsec = 0.0
+    bsec = 0.0
+    n_batch = 0
     if args.queries:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -72,6 +74,14 @@ def main() -> None:
         with ThreadPoolExecutor(max_workers=max(8, cores * 2)) as ex:
             list(ex.map(lambda q: si.bm25_topk(q, 10).collect(), qs))
         qsec = time.time() - tq
+        # batched serving model: ALL queries in ONE job — the per-query
+        # scheduling floor amortizes, so this is the number that should
+        # scale with cores (query_id is the list index, so repeats are ok)
+        n_batch = max(args.queries, 40)
+        batch_qs = [queries[i % len(queries)] for i in range(n_batch)]
+        tb = time.time()
+        si.bm25_topk_batch(batch_qs, 10).collect()
+        bsec = time.time() - tb
 
     print(json.dumps({
         "docs": manifest.n_docs,
@@ -82,6 +92,9 @@ def main() -> None:
         "docs_per_sec": round(manifest.n_docs / build_sec, 1),
         "query_sec_total": round(qsec, 2),
         "queries_per_sec": round(args.queries / qsec, 2) if qsec else None,
+        "batch_queries": n_batch,
+        "batch_query_sec": round(bsec, 2),
+        "batch_queries_per_sec": round(n_batch / bsec, 2) if bsec else None,
     }))
     if not args.keep:
         shutil.rmtree(out, ignore_errors=True)

@@ -77,6 +77,9 @@ def main() -> None:
     q_eff = None
     if small.get("query_sec_total") and big.get("query_sec_total"):
         q_eff = (small["query_sec_total"] / big["query_sec_total"]) / 4.0
+    b_eff = None
+    if small.get("batch_query_sec") and big.get("batch_query_sec"):
+        b_eff = (small["batch_query_sec"] / big["batch_query_sec"]) / 4.0
     result = {
         "repeats": args.repeats,
         "all_build_sec_n": [r["build_sec"] for r in smalls],
@@ -92,6 +95,9 @@ def main() -> None:
         "query_scaling_efficiency": round(q_eff, 3) if q_eff else None,
         "queries_per_sec_n": small.get("queries_per_sec"),
         "queries_per_sec_4n": big.get("queries_per_sec"),
+        "batch_query_scaling_efficiency": round(b_eff, 3) if b_eff else None,
+        "batch_queries_per_sec_n": small.get("batch_queries_per_sec"),
+        "batch_queries_per_sec_4n": big.get("batch_queries_per_sec"),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:

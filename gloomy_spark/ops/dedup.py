@@ -24,17 +24,23 @@ def _plain_tokens(text: Column) -> Column:
 
 
 def shingles_col(text: Column, k: int) -> Column:
-    """k-token shingles (space-joined sliding windows) over the whole doc."""
+    """k-token shingles (space-joined sliding windows) over the whole doc.
+
+    Built by zip_with-ing the token array against its own k-1 shifted
+    slices — NOT transform(sequence, i -> element_at(toks, i)): a lambda
+    that references the tokenizer expression re-evaluates the regex split
+    per element (higher-order lambdas get no subexpression elimination),
+    turning shingling O(tokens²) per doc. Here the tokenizer is referenced
+    only ~2k times per ROW. Incomplete tail windows become NULL (concat
+    propagates null, unlike concat_ws) and are filtered."""
     toks = _plain_tokens(text)
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
-    return F.when(F.size(toks) >= k, windows).otherwise(
-        F.array().cast("array<string>")
-    )
+    if k == 1:
+        return toks
+    acc = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(acc, lambda s: s.isNotNull())
 
 
 # ----------------------------------------------------------- exact dedup --
