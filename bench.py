@@ -133,10 +133,12 @@ def main() -> None:
     shutil.rmtree(idx2, ignore_errors=True)
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            extra["scaling"] = json.load(f)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    for key, fname in (("scaling", "scaling.json"), ("query_scaling", "query_scaling.json")):
+        p = os.path.join(bench_dir, fname)
+        if os.path.exists(p):
+            with open(p) as f:
+                extra[key] = json.load(f)
 
     total = round(sum(timings.values()), 2)
     print(

@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=2)
     ap.add_argument("--queries", type=int, default=10, help="BM25 queries to run after build")
     ap.add_argument("--keep", default="", help="keep index at this dir")
+    ap.add_argument("--index-dir", default="",
+                    help="serve-only: skip the build, load this index")
+    ap.add_argument("--bucket-width", type=int, default=0,
+                    help="doc_bucket_width override (0 = config default); "
+                         "smaller widths emulate large-corpus bucket counts")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,23 +45,35 @@ def main() -> None:
     from gloomy_spark.query.engine import SearchIndex
 
     parts = args.partitions or cores * 2
-    cfg = EngineConfig(shuffle_partitions=max(cores * 2, 8))
-    out = args.keep or tempfile.mkdtemp(prefix="gloomy_bench_idx_")
+    cfg_kw = {"shuffle_partitions": max(cores * 2, 8)}
+    if args.bucket_width:
+        cfg_kw["doc_bucket_width"] = args.bucket_width
+    cfg = EngineConfig(**cfg_kw)
 
-    # corpus generation is NOT timed (it stands in for reading the Iceberg
-    # pages table); materialize it to parquet first
-    corpus_dir = tempfile.mkdtemp(prefix="gloomy_bench_corpus_")
-    pages_df(spark, args.docs, partitions=parts).write.mode("overwrite").parquet(corpus_dir)
-    pages = spark.read.parquet(corpus_dir)
+    corpus_dir = None
+    if args.index_dir:
+        # serve-only mode: measure query scaling against a prebuilt index
+        from gloomy_spark.index_store import Manifest
 
-    t0 = time.time()
-    docs = extracted_docs(pages)
-    manifest = IndexBuilder(spark, cfg).build(
-        docs, out, url_col="url", lang_col="lang",
-        n_buckets=args.n_buckets, resume=False,
-        input_snapshot=f"synthetic:{args.docs}",
-    )
-    build_sec = time.time() - t0
+        out = args.index_dir
+        manifest = Manifest.load(out)
+        build_sec = 0.0
+    else:
+        out = args.keep or tempfile.mkdtemp(prefix="gloomy_bench_idx_")
+        # corpus generation is NOT timed (it stands in for reading the
+        # Iceberg pages table); materialize it to parquet first
+        corpus_dir = tempfile.mkdtemp(prefix="gloomy_bench_corpus_")
+        pages_df(spark, args.docs, partitions=parts).write.mode("overwrite").parquet(corpus_dir)
+        pages = spark.read.parquet(corpus_dir)
+
+        t0 = time.time()
+        docs = extracted_docs(pages)
+        manifest = IndexBuilder(spark, cfg).build(
+            docs, out, url_col="url", lang_col="lang",
+            n_buckets=args.n_buckets, resume=False,
+            input_snapshot=f"synthetic:{args.docs}",
+        )
+        build_sec = time.time() - t0
 
     qsec = 0.0
     bsec = 0.0
@@ -89,16 +106,17 @@ def main() -> None:
         "postings": manifest.postings_total,
         "cores": cores,
         "build_sec": round(build_sec, 2),
-        "docs_per_sec": round(manifest.n_docs / build_sec, 1),
+        "docs_per_sec": round(manifest.n_docs / build_sec, 1) if build_sec else None,
         "query_sec_total": round(qsec, 2),
         "queries_per_sec": round(args.queries / qsec, 2) if qsec else None,
         "batch_queries": n_batch,
         "batch_query_sec": round(bsec, 2),
         "batch_queries_per_sec": round(n_batch / bsec, 2) if bsec else None,
     }))
-    if not args.keep:
+    if not args.keep and not args.index_dir:
         shutil.rmtree(out, ignore_errors=True)
-    shutil.rmtree(corpus_dir, ignore_errors=True)
+    if corpus_dir:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     spark.stop()
 
 

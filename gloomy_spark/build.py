@@ -511,18 +511,21 @@ class IndexBuilder:
             stages[f"segments_write_{k}"] = round(
                 time.time() - t0 - sum(stages.values()), 2
             )
-            # bucket metrics from the committed files (cheap: footer stats +
-            # small agg), then the crash-safe ledger line
+            # bucket metrics from the committed files: small-column agg only
+            # (summing length() of the five binary payload columns would
+            # re-scan every compressed posting byte); payload bytes come
+            # from the parquet file sizes on disk
             written = self.spark.read.parquet(store.bucket_dir(k))
             m = written.agg(
                 F.countDistinct("term_id").alias("nt"),
                 F.count("*").alias("nb"),
                 F.sum("n_docs").alias("np"),
-                F.sum(
-                    F.length("docs") + F.length("tfs") + F.length("dls")
-                    + F.length("pos_counts") + F.length("positions")
-                ).alias("bytes"),
             ).collect()[0]
+            bucket_bytes = sum(
+                e.stat().st_size
+                for e in os.scandir(store.bucket_dir(k))
+                if e.name.endswith(".parquet")
+            )
             elapsed = time.time() - bt0
             store.append_bucket(
                 BucketRecord(
@@ -532,7 +535,7 @@ class IndexBuilder:
                     n_terms=int(m["nt"]),
                     n_blocks=int(m["nb"]),
                     n_postings=int(m["np"] or 0),
-                    bytes_payload=int(m["bytes"] or 0),
+                    bytes_payload=bucket_bytes,
                     elapsed_sec=elapsed,
                     terms_per_sec=(int(m["nt"]) / elapsed if elapsed > 0 else 0.0),
                     postings_per_sec=(int(m["np"] or 0) / elapsed if elapsed > 0 else 0.0),

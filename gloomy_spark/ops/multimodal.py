@@ -92,19 +92,26 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_doc, out_ts, out_hash = [], [], []
-            for _, row in pdf.iterrows():
-                if row["media_type"] != "video/mp4":
-                    continue
-                n_frames = max(1, int(row["duration_ms"]) // every_ms)
-                n_frames = min(n_frames, 32)  # cap fan-out per row
-                base = hashlib.md5(bytes(row["media"])).digest()
-                for i in range(n_frames):
-                    out_doc.append(row["doc_id"])
-                    out_ts.append(i * every_ms)
-                    out_hash.append(
-                        hashlib.md5(base + i.to_bytes(4, "little")).hexdigest()
-                    )
+            vids = pdf[pdf["media_type"] == "video/mp4"]
+            if len(vids) == 0:
+                yield pd.DataFrame({"doc_id": [], "frame_ts_ms": [], "frame_hash": []})
+                continue
+            # fan-out plumbing vectorized: np.repeat for doc ids, one
+            # concatenated arange for timestamps; only the (stubbed)
+            # per-frame decode itself touches Python per frame
+            n_frames = np.clip(
+                vids["duration_ms"].to_numpy(np.int64) // every_ms, 1, 32
+            )
+            out_doc = np.repeat(vids["doc_id"].to_numpy(np.int64), n_frames)
+            total = int(n_frames.sum())
+            starts = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
+            frame_idx = np.arange(total) - np.repeat(starts, n_frames)
+            out_ts = (frame_idx * every_ms).astype(np.int32)
+            bases = [hashlib.md5(bytes(m)).digest() for m in vids["media"]]
+            out_hash = [
+                hashlib.md5(bases[b] + int(i).to_bytes(4, "little")).hexdigest()
+                for b, i in zip(np.repeat(np.arange(len(bases)), n_frames), frame_idx)
+            ]
             yield pd.DataFrame(
                 {"doc_id": out_doc, "frame_ts_ms": out_ts, "frame_hash": out_hash}
             )

@@ -303,8 +303,10 @@ class SearchIndex:
         segs = self.segments.where(F.col("term_id") == tid)
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # per-BLOCK loop (1/block_size of posting count); to_dict avoids
+            # iterrows' per-cell Series boxing
             for pdf in batches:
-                for _, row in pdf.iterrows():
+                for row in pdf.to_dict("records"):
                     d, tf, dl = decode_posting_block(
                         row["docs"], row["tfs"], row["dls"], int(row["n_docs"])
                     )
@@ -326,7 +328,7 @@ class SearchIndex:
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                for _, row in pdf.iterrows():
+                for row in pdf.to_dict("records"):
                     n = int(row["n_docs"])
                     d, tf, _dl = decode_posting_block(
                         row["docs"], row["tfs"], row["dls"], n
