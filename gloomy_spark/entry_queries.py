@@ -384,6 +384,85 @@ WHERE regexp_matches(term, '^{pattern}$') GROUP BY term"""
     return fn, sql
 
 
+def _stage_corpus_file(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Materialize the documents table as a corpus FILE (one per sf_dir and
+    format, cached in /tmp) so the file-source readers (S1 plaintext / S3
+    vertical) run through the driver gate on real files."""
+    from .functions.text import tokens_col
+
+    slug = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"gloomy_corpus_{fmt}_{slug}.txt")
+    if os.path.exists(path):
+        return path
+    docs = _docs(spark, sf_dir)
+    rows = sorted(
+        docs.select("doc_id", "text", tokens_col(F.col("text"), CFG).alias("toks")).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    lines: list[str] = []
+    if fmt == "plaintext":
+        lines = [r["text"] for r in rows]  # texts contain no newlines
+    else:  # vertical: one token per line inside <doc> structures
+        for r in rows:
+            lines.append(f'<doc id="{r["doc_id"]}">')
+            lines.extend(r["toks"])
+            lines.append("</doc>")
+    tmp = path + ".part"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def q_plaintext_roundtrip():
+    """S1 through the driver gate: documents → plain-text corpus file →
+    read_plaintext_docs → per-doc content hash + engine token count."""
+    from .sources import read_plaintext_docs
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .functions.text import tokens_col
+
+        path = _stage_corpus_file(spark, sf_dir, "plaintext")
+        vd = read_plaintext_docs(spark, path)
+        return vd.select(
+            F.md5("text").alias("content_md5"),
+            F.size(tokens_col(F.col("text"), CFG)).alias("n_tokens"),
+        )
+
+    sql = f"""SELECT md5(text) AS content_md5,
+       cast(len(list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                            t -> {IGNORE_FILTER_SQL})) AS int) AS n_tokens
+FROM documents"""
+    return fn, sql
+
+
+def q_vertical_roundtrip():
+    """S3 through the driver gate: documents → vertical corpus file (one
+    token per line inside <doc> tags) → read_vertical_docs → content hash
+    of the space-joined token stream + token count (roundtrip invariant:
+    the vertical parse reproduces the engine token stream exactly)."""
+    from .sources import read_vertical_docs
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        path = _stage_corpus_file(spark, sf_dir, "vertical")
+        vd = read_vertical_docs(spark, path)
+        toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        return vd.select(
+            F.md5("text").alias("content_md5"),
+            F.size(toks).cast("int").alias("n_tokens"),
+        )
+
+    sql = f"""WITH base AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[,.\\s;?!:]+'),
+                     t -> {IGNORE_FILTER_SQL}) AS toks
+  FROM documents
+)
+SELECT md5(array_to_string(toks, ' ')) AS content_md5,
+       cast(len(toks) AS int) AS n_tokens
+FROM base"""
+    return fn, sql
+
+
 def q_ngram_index_counts(n: int):
     """Dictionary of an index BUILT over n-gram terms (the reference's core
     object, index/index.go:241-258) — validates the full build pipeline
@@ -817,6 +896,9 @@ def registry() -> dict[str, tuple]:
         "phrase_match": q_phrase_match("table hash"),
         "bigram_index_counts": q_ngram_index_counts(2),
         "ngram_regexp_search": q_ngram_regexp(["s[ct]an", "(tab|col).*"]),
+        # file-source roundtrips (S1 plaintext / S3 vertical)
+        "plaintext_roundtrip": q_plaintext_roundtrip(),
+        "vertical_roundtrip": q_vertical_roundtrip(),
         # dedup family
         "dedup_exact_groups": q_dedup_exact(),
         "dedup_keep_first": q_dedup_keep_first(),
