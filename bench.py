@@ -49,7 +49,12 @@ def main() -> None:
     from gloomy_spark.entry_queries import registry
     from gloomy_spark.query.engine import SearchIndex
 
-    cfg = EngineConfig(shuffle_partitions=max(cpus * 2, 16))
+    # doc_bucket_width sized so bench corpora get MANY doc buckets — the
+    # regime of big corpora (10^12 docs / default 2^20 width ≈ 10^6
+    # buckets); serving parallelism comes from bucket count
+    cfg = EngineConfig(
+        shuffle_partitions=max(cpus * 2, 16), doc_bucket_width=1 << 9
+    )
     timings: dict[str, float] = {}
     extra: dict[str, object] = {}
 

@@ -368,6 +368,10 @@ class SearchIndex:
         still overlap the surviving candidate docs, then (c) verifies
         adjacency per candidate. No explode, no position decode for
         non-candidate docs."""
+        if not self.cfg.store_positions:
+            raise ValueError(
+                "phrase queries require an index built with store_positions=True"
+            )
         terms = tokenize(phrase, self.cfg)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long")
@@ -513,18 +517,18 @@ class SearchIndex:
         """Score MANY queries in ONE Spark job → (query_id, doc_id, score).
 
         Serving-throughput path: per-query jobs pay Spark's scheduling
-        floor (~0.3-1s) each; batching amortizes it — one segments scan
-        covering the union of all query terms, one shuffle grouped by
-        (query_id, doc_bucket), and a PARTITIONED top-k window per query
-        (never a global single-task sort). query_id is the queries-list
-        index. Queries with no indexed terms simply emit no rows."""
-        p = _Bm25Params(
-            k1=self.cfg.bm25.k1,
-            b=self.cfg.bm25.b,
-            avgdl=self.manifest.avgdl,
-            k=k,
-            use_blockmax=use_blockmax,
-        )
+        floor (~0.3-1s) each; batching amortizes it — ONE segments scan
+        over the union of all query terms, ONE shuffle of each block (no
+        per-query payload duplication: idf is a term property, so each
+        block is decoded and scored once per doc_bucket and every query
+        just gathers its terms' (doc, score) arrays), then a PARTITIONED
+        top-k window per query (never a global single-task sort).
+        query_id is the queries-list index; queries with no indexed terms
+        emit no rows. Exact scores (full DAAT per bucket — with many
+        queries sharing terms, block-max pruning would save nothing since
+        shared blocks must be decoded anyway; use_blockmax is accepted for
+        signature parity)."""
+        k1, b, avgdl = self.cfg.bm25.k1, self.cfg.bm25.b, self.manifest.avgdl
         toks_by_q = {
             qi: list(dict.fromkeys(tokenize(q, self.cfg))) for qi, q in enumerate(queries)
         }
@@ -538,35 +542,72 @@ class SearchIndex:
                 .select("term", "term_id", "idf")
                 .collect()
             }
-        qmap_rows = [
-            (qi, lookup[t][0], float(lookup[t][1]))
+        # query_id → [term_id]; idf is a TERM property (query-independent),
+        # so each block is shuffled and decoded+scored ONCE per bucket, and
+        # queries merely gather their terms' (doc, score) arrays — no
+        # per-query payload duplication in the shuffle
+        q_terms = {
+            qi: [int(lookup[t][0]) for t in ts if t in lookup]
             for qi, ts in toks_by_q.items()
-            for t in ts
-            if t in lookup
-        ]
-        if not qmap_rows:
+        }
+        q_terms = {qi: ts for qi, ts in q_terms.items() if ts}
+        if not q_terms:
             return self.spark.createDataFrame([], "query_id int, " + TOPK_SCHEMA)
-        qmap = self.spark.createDataFrame(
-            qmap_rows, "query_id int, term_id long, idf double"
-        )
-        ids = sorted({r[1] for r in qmap_rows})
-        cand = (
-            self.segments.where(F.col("term_id").isin(ids))
-            .join(F.broadcast(qmap), "term_id")
-            .select(
-                "query_id", "doc_bucket", "first_doc", "last_doc", "n_docs",
-                "max_score", "docs", "tfs", "dls", "idf",
-            )
-        )
-        base = _bucket_scorer(p)
+        idf_by_tid = {int(tid): float(idf) for tid, idf in lookup.values()}
+        ids = sorted(idf_by_tid)
 
-        def score_q(key, pdf):
-            out = base(pdf)
-            out.insert(0, "query_id", np.int32(key[0]))
-            return out
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            tids = pdf["term_id"].to_numpy(np.int64)
+            by_term: dict[int, list[int]] = {}
+            for i, t in enumerate(tids.tolist()):
+                by_term.setdefault(t, []).append(i)
+            scored: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-        per = cand.groupBy("query_id", "doc_bucket").applyInPandas(
-            score_q, "query_id int, " + TOPK_SCHEMA
+            def term_postings(tid: int):
+                if tid not in scored:
+                    ds, ss = [], []
+                    idf = idf_by_tid[tid]
+                    for i in by_term.get(tid, ()):  # absent term → empty
+                        row = pdf.iloc[i]
+                        d, tf, dl = decode_posting_block(
+                            row["docs"], row["tfs"], row["dls"], int(row["n_docs"])
+                        )
+                        s = idf * (tf * (k1 + 1.0)) / (
+                            tf + k1 * (1.0 - b + b * (dl / avgdl))
+                        )
+                        ds.append(d)
+                        ss.append(s)
+                    scored[tid] = (
+                        (np.concatenate(ds), np.concatenate(ss))
+                        if ds
+                        else (np.array([], np.int64), np.array([], np.float64))
+                    )
+                return scored[tid]
+
+            frames = []
+            for qi, terms in q_terms.items():
+                parts = [term_postings(t) for t in terms]
+                docs = np.concatenate([p[0] for p in parts])
+                if len(docs) == 0:
+                    continue
+                scores = np.concatenate([p[1] for p in parts])
+                uniq, inv = np.unique(docs, return_inverse=True)
+                tot = np.zeros(len(uniq))
+                np.add.at(tot, inv, scores)
+                top = _topk_df(uniq, tot, k)
+                top.insert(0, "query_id", np.int32(qi))
+                frames.append(top)
+            if not frames:
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        cand = self.segments.where(F.col("term_id").isin(ids)).select(
+            "doc_bucket", "term_id", "n_docs", "docs", "tfs", "dls"
+        )
+        per = cand.groupBy("doc_bucket").applyInPandas(
+            score_bucket, "query_id int, " + TOPK_SCHEMA
         )
         from pyspark.sql import Window
 

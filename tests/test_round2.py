@@ -66,6 +66,22 @@ def test_ann_lsh_multiprobe_recall(spark):
 
 
 @pytest.mark.spark
+def test_ivf_store_partition_pruning_and_recall(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    out = str(tmp_path / "ivf_store")
+    simsearch.ivf_build(emb, out, n_lists=8)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    res = simsearch.ivf_search(spark, out, qv, k=11, n_probe=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the probe filter must reach the file level, not a post-scan filter
+    assert "PartitionFilters: [" in plan and "ivf_list" in plan.split("PartitionFilters")[1][:120], plan
+    got = [r["vec_id"] for r in res.collect() if r["vec_id"] != 0][:10]
+    exact = [r["vec_id"] for r in simsearch.cosine_topk(emb, 0, 10).collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, f"IVF recall@10 {recall}"
+
+
+@pytest.mark.spark
 def test_pairwise_above_finds_planted_near_dups(spark):
     rng = np.random.default_rng(7)
     base = rng.standard_normal((40, 32))
