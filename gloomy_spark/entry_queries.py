@@ -665,6 +665,35 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}"""
     return fn, sql
 
 
+def q_dup_clusters(max_hamming: int):
+    """Near-dup clustering: simhash pairs → connected components →
+    (doc_id, cluster_id=min doc_id of component). Oracle: recursive-CTE
+    reachability (min over reachable node ids = component min)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pairs = dedup.simhash_near_pairs(_docs(spark, sf_dir), max_hamming)
+        return dedup.dup_clusters(pairs)
+
+    sql = f"""WITH RECURSIVE {_simhash_cte()},
+pairs AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+cc(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.node
+)
+SELECT node AS doc_id, cast(min(label) AS bigint) AS cluster_id
+FROM cc GROUP BY node"""
+    return fn, sql
+
+
 def q_jaccard_pairs(shingle_k: int, threshold: float):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dedup.jaccard_pairs(_docs(spark, sf_dir), shingle_k, threshold)
@@ -906,6 +935,7 @@ def registry() -> dict[str, tuple]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs(24, 6, 2),
         "simhash_values": q_simhash(),
         "simhash_near_pairs": q_simhash_near_pairs(8),
+        "dup_clusters": q_dup_clusters(8),
         "jaccard_pairs": q_jaccard_pairs(2, 0.3),
         # similarity search
         "ann_cosine_topk": q_ann_cosine(0, 10),

@@ -279,6 +279,61 @@ def lsh_jaccard_pipeline(
     )
 
 
+def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc_id, cluster_id)
+    with cluster_id = min doc_id of the component (the canonical survivor).
+
+    Iterative min-label propagation (the standard large-graph CC shape —
+    alternating large-star/small-star rounds degenerate to this on the
+    sparse near-dup graphs dedup produces): each round every node adopts
+    the smallest label among itself and its neighbors; terminates when a
+    round changes nothing. Rounds are O(|E|) shuffles, convergence is
+    O(log(diameter)); near-dup components are small (boilerplate cliques,
+    chains of revisions), so 2-4 rounds is typical. localCheckpoint per
+    round truncates the lineage so plans don't grow exponentially.
+
+    Docs that appear in no pair are their own cluster — join survivors
+    back against the corpus if singleton rows are needed."""
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ------------------------------------------------------- n-gram jaccard --
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import threading
 import time
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -25,6 +26,10 @@ from .query.engine import SearchIndex
 
 
 class SearchService:
+    # indexes are write-once (reference README.md:5), so cached results
+    # never go stale; the LRU bounds driver memory
+    CACHE_SIZE = 256
+
     def __init__(self, spark: SparkSession, corpora: dict[str, str]):
         """corpora: name → index_dir."""
         self.spark = spark
@@ -32,30 +37,55 @@ class SearchService:
             name: SearchIndex(spark, path).cache() for name, path in corpora.items()
         }
         self._server: ThreadingHTTPServer | None = None
+        self._cache: OrderedDict[tuple, list] = OrderedDict()
+        self._cache_lock = threading.Lock()
+
+    def _cached(self, key: tuple, compute) -> tuple[list, bool]:
+        with self._cache_lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key], True
+        rows = compute()
+        with self._cache_lock:
+            self._cache[key] = rows
+            self._cache.move_to_end(key)
+            while len(self._cache) > self.CACHE_SIZE:
+                self._cache.popitem(last=False)
+        return rows, False
 
     # ------------------------------------------------------------ logic --
     def search(self, corpus: str, q: str, qtype: str, offset: int, limit: int,
                attrs: list[str]) -> dict:
         t0 = time.time()
         si = self.indexes[corpus]
-        if qtype == "regexp":
-            res = si.search_regexp(q)
-        elif qtype == "prefix" or q.endswith("*"):
-            res = si.search_prefix(q)
-        else:
-            res = si.search_exact(q)
-        res = si.slice(res, offset, limit) if offset else res.limit(limit)
-        rows = [r.asDict() for r in res.collect()]
-        return {"size": len(rows), "rows": rows, "searchTime": round(time.time() - t0, 4)}
+
+        def compute() -> list:
+            if qtype == "regexp":
+                res = si.search_regexp(q)
+            elif qtype == "prefix" or q.endswith("*"):
+                res = si.search_prefix(q)
+            else:
+                res = si.search_exact(q)
+            res = si.slice(res, offset, limit) if offset else res.limit(limit)
+            return [r.asDict() for r in res.collect()]
+
+        rows, hit = self._cached(("search", corpus, qtype, q, offset, limit), compute)
+        return {"size": len(rows), "rows": rows, "cached": hit,
+                "searchTime": round(time.time() - t0, 4)}
 
     def bm25(self, corpus: str, q: str, k: int, attrs: list[str]) -> dict:
         t0 = time.time()
         si = self.indexes[corpus]
-        hits = si.bm25_topk(q, k)
-        if attrs:
-            hits = si.with_doc_metadata(hits, attrs)
-        rows = [r.asDict() for r in hits.collect()]
-        return {"size": len(rows), "rows": rows, "searchTime": round(time.time() - t0, 4)}
+
+        def compute() -> list:
+            hits = si.bm25_topk(q, k)
+            if attrs:
+                hits = si.with_doc_metadata(hits, attrs)
+            return [r.asDict() for r in hits.collect()]
+
+        rows, hit = self._cached(("bm25", corpus, q, k, tuple(attrs)), compute)
+        return {"size": len(rows), "rows": rows, "cached": hit,
+                "searchTime": round(time.time() - t0, 4)}
 
     # ------------------------------------------------------------- http --
     def start(self, port: int = 0) -> int:

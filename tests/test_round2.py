@@ -230,6 +230,25 @@ def test_attr_cols_metadata_on_ngram_hits(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_dup_clusters_planted_components(spark):
+    """Min-label propagation finds exact components on a graph with a
+    chain (needs >1 round), a triangle, an isolated pair, and a long path."""
+    from gloomy_spark.ops.dedup import dup_clusters
+
+    pairs = [
+        (1, 2), (2, 3), (3, 4),          # chain {1,2,3,4}
+        (10, 11), (11, 12), (10, 12),    # triangle {10,11,12}
+        (20, 21),                        # pair
+        (30, 31), (31, 32), (32, 33), (33, 34), (34, 35),  # path of 6
+    ]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+            30: 30, 31: 30, 32: 30, 33: 30, 34: 30, 35: 30}
+    assert got == want
+
+
+@pytest.mark.spark
 def test_cli_roundtrip(spark, tmp_path, capsys):
     """CLI parity with the reference dispatch (gloomy.go:142-162):
     create-index → search → bm25 → extract-ngrams on a tiny corpus."""
@@ -287,5 +306,12 @@ def test_service_nonzero_offset(spark, tmp_path):
         assert page["size"] == 5  # offset bug returned offset+limit rows
         all_terms = sorted(r["term"] for r in full["rows"])
         assert [r["term"] for r in page["rows"]] == all_terms[10:15]
+
+        # write-once index → result cache: repeat request is a hit and fast
+        a = get("/bm25?corpus=main&q=the%20data&k=3")
+        b = get("/bm25?corpus=main&q=the%20data&k=3")
+        assert a["cached"] is False and b["cached"] is True
+        assert b["rows"] == a["rows"]
+        assert b["searchTime"] < 0.1
     finally:
         svc.stop()
