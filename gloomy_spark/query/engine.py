@@ -188,6 +188,11 @@ class SearchIndex:
 
         ship_package(spark)
         self._term_map: dict[str, tuple[int, float]] | None = None
+        self._term_df: dict[str, int] = {}
+        # decoded-postings LRU for the driver-local serving fast path (the
+        # analog of the reference preloading col0 into RAM, index.go:502-504)
+        self._posting_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._posting_cache_postings = 0
         self.spark = spark
         self.store = IndexStore(index_dir)
         self.manifest = Manifest.load(index_dir)
@@ -209,9 +214,9 @@ class SearchIndex:
         self.terms.cache().count()
         self.segments.cache().count()
         if self.manifest.n_terms <= self._TERM_MAP_LIMIT:
-            self._term_map = {
-                r["term"]: (r["term_id"], r["idf"]) for r in self.terms.collect()
-            }
+            rows = self.terms.collect()
+            self._term_map = {r["term"]: (r["term_id"], r["idf"]) for r in rows}
+            self._term_df = {r["term"]: int(r["df"]) for r in rows}
         return self
 
     # ------------------------------------------------------ term search --
@@ -510,6 +515,85 @@ class SearchIndex:
             _bucket_scorer(p), TOPK_SCHEMA
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # driver-local serving fast path: total postings across the query's
+    # terms must fit comfortably on the driver; heavier queries fall back
+    # to the distributed scorer. 5M postings ≈ 120 MB decoded.
+    _LOCAL_MAX_POSTINGS = 5_000_000
+    _POSTING_CACHE_MAX = 20_000_000
+
+    def bm25_serve(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Low-latency BM25 top-k: score on the DRIVER from a decoded-
+        postings LRU (the reference keeps its first trie column in RAM,
+        index.go:502-504 — this is the posting-list analog). Terms missing
+        from the cache are fetched with one pushed-down segments scan;
+        repeat terms cost no Spark job at all. Falls back to the
+        distributed block-max scorer when the query's total df exceeds
+        the driver budget — at 10¹² docs a head-term query MUST stay
+        distributed. Returns [(doc_id, score)] (already exact-ordered,
+        score desc / doc_id asc). Requires .cache()."""
+        if self._term_map is None:
+            raise ValueError("bm25_serve requires a cached index (.cache())")
+        k1, b, avgdl = self.cfg.bm25.k1, self.cfg.bm25.b, self.manifest.avgdl
+        toks = [
+            t for t in dict.fromkeys(tokenize(query, self.cfg)) if t in self._term_map
+        ]
+        if not toks:
+            return []
+        if sum(self._term_df.get(t, 0) for t in toks) > self._LOCAL_MAX_POSTINGS:
+            rows = self.bm25_topk(query, k).collect()  # distributed fallback
+            return [(r["doc_id"], r["score"]) for r in rows]
+
+        missing = [
+            int(self._term_map[t][0])
+            for t in toks
+            if int(self._term_map[t][0]) not in self._posting_cache
+        ]
+        if missing:
+            pdf = (
+                self.segments.where(F.col("term_id").isin(missing))
+                .select("term_id", "n_docs", "docs", "tfs", "dls")
+                .toPandas()
+            )
+            for tid, g in pdf.groupby("term_id"):
+                ds, tfs, dls = [], [], []
+                for row in g.to_dict("records"):
+                    d, tf, dl = decode_posting_block(
+                        row["docs"], row["tfs"], row["dls"], int(row["n_docs"])
+                    )
+                    ds.append(d)
+                    tfs.append(tf)
+                    dls.append(dl)
+                d = np.concatenate(ds)
+                tf = np.concatenate(tfs).astype(np.float64)
+                dl = np.concatenate(dls).astype(np.float64)
+                # cache tf-part of the score (idf applied at query time)
+                part = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+                self._posting_cache[int(tid)] = (d, part)
+                self._posting_cache_postings += len(d)
+            # LRU-ish eviction: drop arbitrary (oldest-inserted) entries
+            while self._posting_cache_postings > self._POSTING_CACHE_MAX:
+                old_tid = next(iter(self._posting_cache))
+                self._posting_cache_postings -= len(self._posting_cache[old_tid][0])
+                del self._posting_cache[old_tid]
+
+        docs_l, scores_l = [], []
+        for t in toks:
+            tid, idf = self._term_map[t]
+            ent = self._posting_cache.get(int(tid))
+            if ent is None:
+                continue  # evicted between fetch and use (giant query)
+            docs_l.append(ent[0])
+            scores_l.append(ent[1] * float(idf))
+        if not docs_l:
+            return []
+        docs = np.concatenate(docs_l)
+        scores = np.concatenate(scores_l)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        tot = np.zeros(len(uniq))
+        np.add.at(tot, inv, scores)
+        top = _topk_df(uniq, tot, k)
+        return list(zip(top["doc_id"].tolist(), top["score"].tolist()))
 
     def bm25_topk_batch(
         self, queries: list[str], k: int = 10, use_blockmax: bool = True

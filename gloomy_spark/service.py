@@ -78,6 +78,11 @@ class SearchService:
         si = self.indexes[corpus]
 
         def compute() -> list:
+            if not attrs and si._term_map is not None:
+                # driver-local fast path (decoded-postings cache)
+                return [
+                    {"doc_id": d, "score": s} for d, s in si.bm25_serve(q, k)
+                ]
             hits = si.bm25_topk(q, k)
             if attrs:
                 hits = si.with_doc_metadata(hits, attrs)

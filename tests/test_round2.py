@@ -46,6 +46,24 @@ def test_bm25_batch_equals_per_query(small_index):
 
 
 @pytest.mark.spark
+def test_bm25_serve_rank_identical_and_cached(small_index):
+    si = SearchIndex(small_index.spark, small_index.store.index_dir).cache()
+    import time as _time
+
+    for q in ["the data of", "spark table column", "the", "zzz missing"]:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in si.bm25_topk(q, 10).collect()
+        ]
+        got = [(d, round(s, 9)) for d, s in si.bm25_serve(q, 10)]
+        assert got == want, q
+    # repeat query: all terms cached → no Spark job, sub-50ms
+    t0 = _time.time()
+    si.bm25_serve("the data of", 10)
+    assert _time.time() - t0 < 0.05
+
+
+@pytest.mark.spark
 def test_bm25_batch_cached_dictionary_path(small_index):
     si = SearchIndex(small_index.spark, small_index.store.index_dir).cache()
     queries = ["the data of", "spark table column"]
