@@ -548,6 +548,82 @@ FROM hits JOIN dls USING (doc_id)"""
     return fn, sql
 
 
+# ------------------------------------------------------------------ events --
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_event_window_counts(hours: int):
+    """Tumbling-window event aggregation (the batch twin of the streaming
+    watermark+window op in streaming/windows.py — equality tested there)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _events(spark, sf_dir)
+        return (
+            ev.groupBy(
+                F.window("ts", f"{hours} hours").start.alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+        )
+
+    sql = f"""SELECT time_bucket(INTERVAL {hours} hours, ts) AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+    return fn, sql
+
+
+def q_event_sessions(gap_minutes: int):
+    """Gap-based sessionization: a session breaks when a user is idle
+    longer than the gap. Classic lag + cumulative-break-count window plan
+    (per-user partitions — user_id is high-cardinality, no skew)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        ev = _events(spark, sf_dir)
+        w = Window.partitionBy("user_id").orderBy("ts")
+        # TIMESTAMP_NTZ has no direct long cast; the session-tz offset
+        # introduced by the timestamp hop cancels in the difference
+        epoch = F.col("ts").cast("timestamp").cast("long")
+        gap = epoch - F.lag(epoch).over(w)
+        brk = F.when(
+            gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        ).otherwise(F.lit(0))
+        sess = ev.withColumn(
+            "session_no", F.sum(brk).over(w).cast("long")
+        )
+        return sess.groupBy("user_id", "session_no").agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+
+    sql = f"""WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > {gap_minutes * 60}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS bigint) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY 1, 2"""
+    return fn, sql
+
+
 # ------------------------------------------------------------------ dedup --
 
 
@@ -928,6 +1004,9 @@ def registry() -> dict[str, tuple]:
         # file-source roundtrips (S1 plaintext / S3 vertical)
         "plaintext_roundtrip": q_plaintext_roundtrip(),
         "vertical_roundtrip": q_vertical_roundtrip(),
+        # event-stream analytics (batch twins of streaming/windows.py ops)
+        "event_window_counts": q_event_window_counts(1),
+        "event_sessions": q_event_sessions(30),
         # dedup family
         "dedup_exact_groups": q_dedup_exact(),
         "dedup_keep_first": q_dedup_keep_first(),
