@@ -187,6 +187,45 @@ def test_segments_col_multichar_stop_parity(spark):
 
 
 @pytest.mark.spark
+def test_tokenization_parity_random_texts(spark):
+    """Property-style: on 300 adversarial random texts (punctuation runs,
+    unicode, token-exact and embedded multi-char stop words), the Spark
+    column implementations must equal the pinned Python semantics for
+    tokens, segments, bigrams and trigrams — batched into one Spark pass
+    per config."""
+    import random
+
+    from gloomy_spark import textnorm
+    from gloomy_spark.functions.text import ngrams_col, segments_col, tokens_col
+
+    rng = random.Random(1234)
+    atoms = list("abcd .,;?!:\"'\t") + ["stop", "stopx", "ž", "é", ".."]
+    texts = [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(0, 60)))
+        for _ in range(300)
+    ]
+    configs = [
+        EngineConfig(),
+        EngineConfig(stop_strings=(".", ":", "stop")),
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for cfg in configs:
+        rows = df.select(
+            "text",
+            tokens_col(F.col("text"), cfg).alias("toks"),
+            segments_col(F.col("text"), cfg).alias("segs"),
+            ngrams_col(F.col("text"), 2, cfg).alias("bi"),
+            ngrams_col(F.col("text"), 3, cfg).alias("tri"),
+        ).collect()
+        for r in rows:
+            t = r["text"]
+            assert list(r["toks"]) == textnorm.tokenize(t, cfg), repr(t)
+            assert [list(s) for s in r["segs"]] == textnorm.segments(t, cfg), repr(t)
+            assert list(r["bi"]) == textnorm.ngrams(t, 2, cfg), repr(t)
+            assert list(r["tri"]) == textnorm.ngrams(t, 3, cfg), repr(t)
+
+
+@pytest.mark.spark
 def test_compact_last_run_wins_on_reingested_doc(spark, tmp_path):
     """A doc_id re-ingested in a later file must index its LATEST content
     (summing tf across runs double-counts dl and overlaps positions)."""
