@@ -668,6 +668,11 @@ class SearchIndex:
                     )
                 return scored[tid]
 
+            # per-query aggregation loop. A fully-vectorized variant
+            # (global (query, doc, score) incidence + lexsort/reduceat)
+            # was A/B-measured ~1.6× SLOWER at 1000 queries: the global
+            # two-key sort over per-query-duplicated incidence rows costs
+            # more than many small per-query np.uniques.
             frames = []
             for qi, terms in q_terms.items():
                 parts = [term_postings(t) for t in terms]
