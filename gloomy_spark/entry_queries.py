@@ -436,6 +436,32 @@ FROM documents"""
     return fn, sql
 
 
+def q_charset_roundtrip(charset: str = "windows-1250"):
+    """S4 through the driver gate: documents → non-UTF8 corpus file →
+    read_plaintext_docs(charset=…) vectorized byte decode → per-doc
+    content hash (byte-identical roundtrip)."""
+    from .sources import read_plaintext_docs
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        slug = re.sub(r"\W+", "_", sf_dir.strip("/"))
+        path = os.path.join(
+            tempfile.gettempdir(), f"gloomy_corpus_{charset}_{slug}.txt"
+        )
+        if not os.path.exists(path):
+            rows = sorted(
+                _docs(spark, sf_dir).select("doc_id", "text").collect(),
+                key=lambda r: r["doc_id"],
+            )
+            tmp = path + ".part"
+            with open(tmp, "wb") as f:
+                f.write("\n".join(r["text"] for r in rows).encode(charset) + b"\n")
+            os.replace(tmp, path)
+        vd = read_plaintext_docs(spark, path, charset=charset)
+        return vd.select(F.md5("text").alias("content_md5"))
+
+    return fn, "SELECT md5(text) AS content_md5 FROM documents"
+
+
 def q_vertical_roundtrip():
     """S3 through the driver gate: documents → vertical corpus file (one
     token per line inside <doc> tags) → read_vertical_docs → content hash
@@ -1001,9 +1027,10 @@ def registry() -> dict[str, tuple]:
         "phrase_match": q_phrase_match("table hash"),
         "bigram_index_counts": q_ngram_index_counts(2),
         "ngram_regexp_search": q_ngram_regexp(["s[ct]an", "(tab|col).*"]),
-        # file-source roundtrips (S1 plaintext / S3 vertical)
+        # file-source roundtrips (S1 plaintext / S3 vertical / S4 charset)
         "plaintext_roundtrip": q_plaintext_roundtrip(),
         "vertical_roundtrip": q_vertical_roundtrip(),
+        "charset_roundtrip": q_charset_roundtrip(),
         # event-stream analytics (batch twins of streaming/windows.py ops)
         "event_window_counts": q_event_window_counts(1),
         "event_sessions": q_event_sessions(30),
