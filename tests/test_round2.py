@@ -306,6 +306,35 @@ def test_dup_clusters_planted_components(spark):
 
 
 @pytest.mark.spark
+def test_frame_sample_matches_python_golden(spark):
+    """media_frame_sample has no SQL oracle (DuckDB lacks crc32/blob-md5),
+    so pin it against a pure-Python recomputation instead."""
+    import hashlib
+    import zlib
+
+    from gloomy_spark.ops import multimodal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.media_table(docs)
+    got = {
+        (r["doc_id"], r["frame_ts_ms"]): r["frame_hash"]
+        for r in multimodal.frame_sample(media).collect()
+    }
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        h = zlib.crc32(r["text"].encode())
+        if ["image/png", "audio/wav", "video/mp4"][h % 3] != "video/mp4":
+            continue
+        n = min(max(1, (h % 600000) // 1000), 32)
+        base = hashlib.md5(r["text"].encode()).digest()
+        for i in range(n):
+            want[(r["doc_id"], i * 1000)] = hashlib.md5(
+                base + i.to_bytes(4, "little")
+            ).hexdigest()
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.spark
 def test_cli_roundtrip(spark, tmp_path, capsys):
     """CLI parity with the reference dispatch (gloomy.go:142-162):
     create-index → search → bm25 → extract-ngrams on a tiny corpus."""
