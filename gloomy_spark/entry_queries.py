@@ -833,6 +833,22 @@ LIMIT {k}"""
     return fn, sql
 
 
+def q_ann_ivf_full_probe(query_vec_id: int, k: int):
+    """IVF with n_probe == n_lists degenerates to EXACT search — this
+    drives the whole IVF machinery (quantizer training, list assignment,
+    probe selection, rerank) through the value-level oracle gate; the
+    pruned variants stay rows-only by approximation."""
+    n_lists = 8
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return simsearch.ivf_topk(
+            _emb(spark, sf_dir), query_vec_id, k, n_lists=n_lists, n_probe=n_lists
+        )
+
+    _, sql = q_ann_cosine(query_vec_id, k)
+    return fn, sql
+
+
 def q_ann_lsh(query_vec_id: int, k: int):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         return simsearch.ann_lsh_topk(_emb(spark, sf_dir), query_vec_id, k)
@@ -1045,6 +1061,7 @@ def registry() -> dict[str, tuple]:
         "jaccard_pairs": q_jaccard_pairs(2, 0.3),
         # similarity search
         "ann_cosine_topk": q_ann_cosine(0, 10),
+        "ann_ivf_full_probe": q_ann_ivf_full_probe(0, 10),
         "ann_lsh_topk": q_ann_lsh(0, 10),
         "ann_ivf_topk": q_ann_ivf(0, 10),
         "embedding_near_pairs": q_embedding_pairs(0.3),
