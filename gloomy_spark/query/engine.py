@@ -582,7 +582,10 @@ class SearchIndex:
             tid, idf = self._term_map[t]
             ent = self._posting_cache.get(int(tid))
             if ent is None:
-                continue  # evicted between fetch and use (giant query)
+                # evicted between fetch and use — a silently missing term
+                # would corrupt scores, so take the distributed path
+                rows = self.bm25_topk(query, k).collect()
+                return [(r["doc_id"], r["score"]) for r in rows]
             docs_l.append(ent[0])
             scores_l.append(ent[1] * float(idf))
         if not docs_l:
