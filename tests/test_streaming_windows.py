@@ -65,6 +65,60 @@ def test_streaming_windowed_counts_equal_batch(spark, tmp_path, event_files):
 
 
 @pytest.mark.spark
+def test_nrt_search_equals_full_rebuild(spark, tmp_path):
+    """BM25 over base index + uncompacted runs must equal a full rebuild
+    over the merged corpus — including re-ingested (overridden) docs and
+    merged global stats (n_docs, avgdl, df)."""
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.config import EngineConfig
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+    from gloomy_spark.streaming.incremental import IncrementalIndexer
+    from gloomy_spark.streaming.nrt import nrt_bm25_topk
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    base = pages_df(spark, 80, partitions=2).select("doc_id", "text")
+    base_idx = str(tmp_path / "base_idx")
+    IndexBuilder(spark, cfg).build(base, base_idx, n_buckets=1)
+    si = SearchIndex(spark, base_idx)
+
+    # runs: 40 brand-new docs + 5 re-ingested (modified) docs
+    fresh = pages_df(spark, 120, partitions=2).where("doc_id >= 80").select(
+        "doc_id", "text"
+    )
+    modified = base.where("doc_id < 5").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" extra drift tokens")).alias("text")
+    )
+    in_dir = str(tmp_path / "nrt_in")
+    fresh.write.mode("overwrite").parquet(in_dir)
+    modified.write.mode("append").parquet(in_dir)
+    inc = IncrementalIndexer(spark, str(tmp_path / "nrt_work"), cfg)
+    q = inc.start(in_dir, "doc_id long, text string")
+    q.awaitTermination(120)
+
+    # full rebuild over the merged corpus (runs override doc_id < 5)
+    merged = (
+        base.where("doc_id >= 5")
+        .unionAll(modified)
+        .unionAll(fresh)
+    )
+    full_idx = str(tmp_path / "full_idx")
+    IndexBuilder(spark, cfg).build(merged, full_idx, n_buckets=1)
+    si_full = SearchIndex(spark, full_idx)
+
+    for query in ["the data of", "drift extra", "the", "zzz missing"]:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in si_full.bm25_topk(query, 10).collect()
+        ]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in nrt_bm25_topk(si, inc.runs_dir, query, 10).collect()
+        ]
+        assert got == want, query
+
+
+@pytest.mark.spark
 def test_streaming_sessionize_matches_batch(spark, tmp_path, event_files):
     d, ev = event_files
     from gloomy_spark.entry_queries import q_event_sessions
