@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -57,7 +58,10 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     sv.add_argument("--port", type=int, default=8090)
 
-    for p in (ci, se, bm, ex, sv):
+    st = sub.add_parser("stats", help="index manifest + bucket ledger")
+    st.add_argument("--index", required=True)
+
+    for p in (ci, se, bm, ex, sv, st):
         p.add_argument("--master", default="local[*]")
         p.add_argument("--shuffle-partitions", type=int, default=32)
     return ap
@@ -81,6 +85,27 @@ def _emit(obj) -> None:
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.command == "stats":  # pure file reads — no SparkSession needed
+        from .index_store import Manifest
+
+        m = Manifest.load(args.index)
+        _emit(
+            {
+                "n_docs": m.n_docs,
+                "n_terms": m.n_terms,
+                "postings": m.postings_total,
+                "avgdl": round(m.avgdl, 3),
+                "build_seconds": round(m.build_seconds, 3),
+                "stages": m.stages,
+            }
+        )
+        ledger = os.path.join(args.index, "ledger.jsonl")
+        if os.path.exists(ledger):
+            for line in open(ledger):
+                _emit(json.loads(line))
+        return 0
+
     spark = spark or _session(args)
 
     if args.command == "create-index":

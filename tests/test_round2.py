@@ -359,6 +359,12 @@ def test_cli_roundtrip(spark, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert len(rows) == 2 and rows[0]["score"] >= rows[1]["score"]
 
+    assert main(["stats", "--index", idx], spark=spark) == 0
+    lines = capsys.readouterr().out.splitlines()
+    stats = json.loads(lines[0])
+    assert stats["n_docs"] == 3 and stats["n_terms"] == 7
+    assert json.loads(lines[1])["bucket"] == 0  # ledger echoed
+
     out_tsv = str(tmp_path / "ngrams_tsv")
     assert main(["extract-ngrams", "--index", idx, "--out", out_tsv,
                  "--min-freq", "2"], spark=spark) == 0
