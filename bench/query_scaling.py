@@ -25,7 +25,7 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_job(cores: int, extra: list[str]) -> dict:
+def run_job(cores: int, extra: list[str], shuffle_partitions: int | None = None) -> dict:
     tmp = "/dev/shm/gloomy_scaling"
     os.makedirs(tmp, exist_ok=True)
     env = dict(os.environ)
@@ -35,7 +35,8 @@ def run_job(cores: int, extra: list[str]) -> dict:
         "--master", f"local[{cores}]",
         "--conf", "spark.driver.memory=32g",
         "--conf", f"spark.local.dir={tmp}/spark-local",
-        "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 16)}",
+        "--conf",
+        f"spark.sql.shuffle.partitions={shuffle_partitions or max(cores * 2, 16)}",
         "--py-files", os.path.join(REPO, "gloomy_spark.zip"),
         os.path.join(REPO, "bench", "build_job.py"),
         *extra,
@@ -74,10 +75,15 @@ def main() -> None:
 
     serve = ["--index-dir", idx, "--queries", str(args.queries),
              "--bucket-width", str(args.bucket_width)]
+    # SAME shuffle partitioning at both sizes, and ≥2× the scoring-group
+    # count: with ~19 groups over 16 partitions, some partitions carry two
+    # groups — a 2-wave straggler tax that only the multi-core run pays
+    n_groups = max(1, args.docs // args.bucket_width) + 2
+    sp = max(64, 2 * n_groups)
     smalls, bigs = [], []
     for i in range(args.repeats):
-        smalls.append(run_job(args.n, serve))
-        bigs.append(run_job(args.n * 4, serve))
+        smalls.append(run_job(args.n, serve, shuffle_partitions=sp))
+        bigs.append(run_job(args.n * 4, serve, shuffle_partitions=sp))
         sys.stderr.write(
             f"repeat {i}: N batch={smalls[-1]['batch_query_sec']}s "
             f"4N batch={bigs[-1]['batch_query_sec']}s\n"
