@@ -121,6 +121,25 @@ def test_pairwise_above_finds_planted_near_dups(spark):
 
 
 @pytest.mark.spark
+def test_bm25_batch_plan_shape(small_index):
+    """The batched-serving plan must be: ONE parquet scan with the query
+    terms' ids pushed down, ONE doc_bucket shuffle of compressed blocks
+    (no per-query payload duplication), the pandas scorer, and a
+    partitioned per-query top-k (map-side WindowGroupLimit, never a
+    single-task global sort)."""
+    import re
+
+    df = small_index.bm25_topk_batch(["the data", "of the"], 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1, plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "term_id" in pushed, pushed
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "WindowGroupLimit" in plan  # per-query top-k pushed map-side
+
+
+@pytest.mark.spark
 def test_phrase_match_plan_has_no_explode(small_index):
     # the scale-safe plan never explodes corpus-wide position lists; a
     # Generate node in the physical plan would mean the old anchor-union
