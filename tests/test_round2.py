@@ -235,6 +235,7 @@ def test_tokenization_parity_random_texts(spark):
             segments_col(F.col("text"), cfg).alias("segs"),
             ngrams_col(F.col("text"), 2, cfg).alias("bi"),
             ngrams_col(F.col("text"), 3, cfg).alias("tri"),
+            ngrams_col(F.col("text"), 10, cfg).alias("deca"),  # MaxNgramSize
         ).collect()
         for r in rows:
             t = r["text"]
@@ -242,6 +243,7 @@ def test_tokenization_parity_random_texts(spark):
             assert [list(s) for s in r["segs"]] == textnorm.segments(t, cfg), repr(t)
             assert list(r["bi"]) == textnorm.ngrams(t, 2, cfg), repr(t)
             assert list(r["tri"]) == textnorm.ngrams(t, 3, cfg), repr(t)
+            assert list(r["deca"]) == textnorm.ngrams(t, 10, cfg), repr(t)
 
 
 @pytest.mark.spark
