@@ -614,9 +614,17 @@ def q_event_sessions(gap_minutes: int):
 
         ev = _events(spark, sf_dir)
         w = Window.partitionBy("user_id").orderBy("ts")
-        # TIMESTAMP_NTZ has no direct long cast; the session-tz offset
-        # introduced by the timestamp hop cancels in the difference
-        epoch = F.col("ts").cast("timestamp").cast("long")
+        # TIMESTAMP_NTZ has no direct long cast, and hopping via
+        # cast("timestamp") applies the session tz PER-VALUE — across a DST
+        # transition two events get different offsets and the gap is off by
+        # ±3600s. Derive naive wall-clock seconds from date/time fields
+        # instead (timezone-independent, matches DuckDB's naive epoch()).
+        epoch = (
+            F.unix_date(F.to_date("ts")).cast("long") * 86400
+            + F.hour("ts") * 3600
+            + F.minute("ts") * 60
+            + F.second("ts")
+        )
         gap = epoch - F.lag(epoch).over(w)
         brk = F.when(
             gap.isNull() | (gap > gap_minutes * 60), F.lit(1)

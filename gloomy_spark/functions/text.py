@@ -49,15 +49,23 @@ def segments_col(text: Column, cfg: EngineConfig = DEFAULT_CONFIG) -> Column:
     are property-tested equal)."""
     lowered = F.lower(text)
     seg_class = stop_char_class(cfg)
-    # a stop string containing a split char can never appear as one token,
-    # so it never resets in the pinned semantics either — skip it
+    # pinned semantics (textnorm.segments): the raw stop string is compared
+    # against ALREADY-LOWERCASED tokens, so a stop string containing
+    # uppercase can never match — skip it (don't lowercase it into
+    # matching). A stop string containing a split char can never appear as
+    # one token, so it never resets either. And ignore-strings are filtered
+    # BEFORE the reset check, so a stop string that is also an
+    # ignore-string is dropped without resetting — skip those too.
     multi = [
         s for s in cfg.stop_strings
-        if len(s) > 1 and not re.search(FULL_SPLIT_PATTERN, s)
+        if len(s) > 1
+        and s == s.lower()
+        and not re.search(FULL_SPLIT_PATTERN, s)
+        and s not in cfg.ignore_strings
     ]
     if multi:
         for s in multi:
-            pat = f"(?<=^|{_BOUNDARY}){re.escape(s.lower())}(?=$|{_BOUNDARY})"
+            pat = f"(?<=^|{_BOUNDARY}){re.escape(s)}(?=$|{_BOUNDARY})"
             lowered = F.regexp_replace(lowered, pat, _MARKER)
         seg_class = seg_class[:-1] + _MARKER + "]"
     segs = F.split(lowered, seg_class)

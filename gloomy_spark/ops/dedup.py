@@ -108,6 +108,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = 256,
+    log_capped: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): docs sharing ≥1 identical band.
 
@@ -119,7 +120,10 @@ def minhash_lsh_pairs(
     members (ops/skew.cap_buckets) — candidate recall inside a capped
     bucket degrades, which is the standard web-scale trade; buckets under
     the cap (all buckets at oracle scale) are byte-identical to uncapped.
-    Pass max_bucket=None for the exact, uncapped join."""
+    Pass max_bucket=None for the exact, uncapped join; pass
+    log_capped=True to pay one extra aggregation pass and log how many
+    buckets/rows the cap actually truncated (skew.capped_bucket_stats),
+    so recall loss is a visible metric rather than a silent default."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_k, text_col, id_col)
     band_cols = [
@@ -133,8 +137,19 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket is not None:
-        from .skew import cap_buckets
+        from .skew import cap_buckets, capped_bucket_stats
 
+        if log_capped:
+            import logging
+
+            stats = capped_bucket_stats(banded, ["band", "key"], max_bucket).collect()[0]
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: cap_buckets(max_bucket=%d) truncated "
+                "%d bucket(s), dropping %d banded row(s)",
+                max_bucket,
+                stats["n_buckets_capped"],
+                stats["n_rows_dropped"],
+            )
         banded = cap_buckets(banded, ["band", "key"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -242,15 +257,18 @@ def lsh_jaccard_pipeline(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = 256,
+    log_capped: bool = False,
 ) -> DataFrame:
     """The scale composition: MinHash-LSH candidate generation → exact
     jaccard rerank computed ONLY for candidate pairs (intersection via two
     shingle joins constrained to candidates). This is the 100 TB shape —
     the all-pairs `jaccard_pairs` below is the exact oracle-checkable
-    operator for small inputs. Bucket capping is inherited from
-    minhash_lsh_pairs (default-on; see its docstring)."""
+    operator for small inputs. Bucket capping (and its observability via
+    log_capped) is inherited from minhash_lsh_pairs (default-on; see its
+    docstring)."""
     cand = minhash_lsh_pairs(
-        docs, num_hashes, bands, shingle_k, text_col, id_col, max_bucket=max_bucket
+        docs, num_hashes, bands, shingle_k, text_col, id_col,
+        max_bucket=max_bucket, log_capped=log_capped,
     )
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -283,14 +301,16 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Connected components over near-duplicate pairs → (doc_id, cluster_id)
     with cluster_id = min doc_id of the component (the canonical survivor).
 
-    Iterative min-label propagation (the standard large-graph CC shape —
-    alternating large-star/small-star rounds degenerate to this on the
-    sparse near-dup graphs dedup produces): each round every node adopts
-    the smallest label among itself and its neighbors; terminates when a
-    round changes nothing. Rounds are O(|E|) shuffles, convergence is
-    O(log(diameter)); near-dup components are small (boilerplate cliques,
-    chains of revisions), so 2-4 rounds is typical. localCheckpoint per
-    round truncates the lineage so plans don't grow exponentially.
+    Each round does min-label propagation over edges PLUS a pointer-
+    doubling shortcut (every node also jumps to its current label's label),
+    which halves the remaining path length per round — convergence is
+    O(log(diameter)) rounds even on long revision chains, where plain
+    propagation needs O(eccentricity). Rounds are O(|E|) shuffles;
+    near-dup components are small (boilerplate cliques, short chains), so
+    2-4 rounds is typical. localCheckpoint per round truncates the lineage
+    so plans don't grow exponentially. If the loop exhausts
+    `max_iterations` without converging the result would be silently
+    wrong, so it raises instead.
 
     Docs that appear in no pair are their own cluster — join survivors
     back against the corpus if singleton rows are needed."""
@@ -305,18 +325,32 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .agg(F.least(F.min("dst"), F.first("src")).alias("cluster_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        propagated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: labels are always node ids present in the label
+        # table, so each node can jump straight to its label's own label
+        parent = labels.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("parent_label"),
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            propagated.join(parent, "cluster_id", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce("parent_label", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
@@ -330,7 +364,14 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iterations} rounds; "
+            "raise max_iterations (components deeper than "
+            f"2^{max_iterations} hops are implausible for near-dup graphs)"
+        )
     return labels
 
 

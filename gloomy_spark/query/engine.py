@@ -22,6 +22,7 @@ until the running k-th best exact score exceeds the next segment's bound.
 from __future__ import annotations
 
 import heapq
+import threading
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -190,9 +191,15 @@ class SearchIndex:
         self._term_map: dict[str, tuple[int, float]] | None = None
         self._term_df: dict[str, int] = {}
         # decoded-postings LRU for the driver-local serving fast path (the
-        # analog of the reference preloading col0 into RAM, index.go:502-504)
+        # analog of the reference preloading col0 into RAM, index.go:502-504).
+        # Served from ThreadingHTTPServer threads, so all lookup/insert/
+        # eviction happens under _posting_cache_lock; the postings counter
+        # is recomputed from the dict (never incrementally drifted).
         self._posting_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        self._posting_cache_postings = 0
+        self._posting_cache_lock = threading.Lock()
+        # per-doc attrs LRU for the /bm25?attrs= serving fast path
+        self._doc_attr_cache: dict[int, dict] = {}
+        self._doc_attr_cache_lock = threading.Lock()
         self.spark = spark
         self.store = IndexStore(index_dir)
         self.manifest = Manifest.load(index_dir)
@@ -279,6 +286,37 @@ class SearchIndex:
         cols = ["doc_id"] + (attrs or ["url", "lang", "doclen"])
         dim = self.docs.select(*[c for c in cols if c in self.docs.columns])
         return hits.join(F.broadcast(dim), "doc_id", "left")
+
+    _DOC_ATTR_CACHE_MAX = 100_000
+
+    def doc_attrs(
+        self, doc_ids: list[int], attrs: list[str] | None = None
+    ) -> dict[int, dict]:
+        """Driver-side Q11 for the serving fast path: metadata for a
+        handful of doc_ids without a full Spark join job. Cache misses cost
+        ONE pushed-down docs scan (doc_id ∈ PushedFilters — at 10¹² docs
+        this touches only the row groups holding those ids); hits are free.
+        Whole rows are cached so any later attr set reuses them. Used by
+        SearchService./bm25?attrs=… after bm25_serve. Thread-safe."""
+        ids = [int(d) for d in doc_ids]
+        cols = [
+            c for c in (attrs or ["url", "lang", "doclen"])
+            if c in self.docs.columns
+        ]
+        with self._doc_attr_cache_lock:
+            missing = [d for d in ids if d not in self._doc_attr_cache]
+        if missing:
+            rows = self.docs.where(F.col("doc_id").isin(missing)).collect()
+            fetched = {int(r["doc_id"]): r.asDict() for r in rows}
+            with self._doc_attr_cache_lock:
+                for d in missing:
+                    # absent docs cache as {} so repeat misses stay free
+                    self._doc_attr_cache.setdefault(d, fetched.get(d, {}))
+                while len(self._doc_attr_cache) > self._DOC_ATTR_CACHE_MAX:
+                    del self._doc_attr_cache[next(iter(self._doc_attr_cache))]
+        with self._doc_attr_cache_lock:
+            got = {d: self._doc_attr_cache.get(d, {}) for d in ids}
+        return {d: {c: row.get(c) for c in cols} for d, row in got.items()}
 
     def export_ngrams_tsv(self, path: str, min_freq: int = 1) -> None:
         """S8 analog: dump (term, cf) as TSV (extras.ExtractUniqueNgrams)."""
@@ -544,17 +582,22 @@ class SearchIndex:
             rows = self.bm25_topk(query, k).collect()  # distributed fallback
             return [(r["doc_id"], r["score"]) for r in rows]
 
-        missing = [
-            int(self._term_map[t][0])
-            for t in toks
-            if int(self._term_map[t][0]) not in self._posting_cache
-        ]
+        with self._posting_cache_lock:
+            missing = [
+                int(self._term_map[t][0])
+                for t in toks
+                if int(self._term_map[t][0]) not in self._posting_cache
+            ]
         if missing:
+            # fetch OUTSIDE the lock (a Spark scan must not serialize other
+            # threads' cache hits); two threads missing the same term just
+            # fetch twice and the second insert is a no-op
             pdf = (
                 self.segments.where(F.col("term_id").isin(missing))
                 .select("term_id", "n_docs", "docs", "tfs", "dls")
                 .toPandas()
             )
+            fetched: dict[int, tuple[np.ndarray, np.ndarray]] = {}
             for tid, g in pdf.groupby("term_id"):
                 ds, tfs, dls = [], [], []
                 for row in g.to_dict("records"):
@@ -569,18 +612,30 @@ class SearchIndex:
                 dl = np.concatenate(dls).astype(np.float64)
                 # cache tf-part of the score (idf applied at query time)
                 part = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
-                self._posting_cache[int(tid)] = (d, part)
-                self._posting_cache_postings += len(d)
-            # LRU-ish eviction: drop arbitrary (oldest-inserted) entries
-            while self._posting_cache_postings > self._POSTING_CACHE_MAX:
-                old_tid = next(iter(self._posting_cache))
-                self._posting_cache_postings -= len(self._posting_cache[old_tid][0])
-                del self._posting_cache[old_tid]
+                fetched[int(tid)] = (d, part)
+            with self._posting_cache_lock:
+                for tid, ent in fetched.items():
+                    self._posting_cache.setdefault(tid, ent)
+                # LRU-ish eviction: drop oldest-inserted entries. Recompute
+                # the size from the dict — an incrementally-drifted counter
+                # under concurrency over-evicts forever.
+                total = sum(len(v[0]) for v in self._posting_cache.values())
+                while total > self._POSTING_CACHE_MAX and len(self._posting_cache) > 1:
+                    old_tid = next(iter(self._posting_cache))
+                    total -= len(self._posting_cache[old_tid][0])
+                    del self._posting_cache[old_tid]
 
         docs_l, scores_l = [], []
+        with self._posting_cache_lock:
+            entries = {
+                int(self._term_map[t][0]): self._posting_cache.get(
+                    int(self._term_map[t][0])
+                )
+                for t in toks
+            }
         for t in toks:
             tid, idf = self._term_map[t]
-            ent = self._posting_cache.get(int(tid))
+            ent = entries.get(int(tid))
             if ent is None:
                 # evicted between fetch and use — a silently missing term
                 # would corrupt scores, so take the distributed path

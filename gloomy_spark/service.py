@@ -78,10 +78,16 @@ class SearchService:
         si = self.indexes[corpus]
 
         def compute() -> list:
-            if not attrs and si._term_map is not None:
-                # driver-local fast path (decoded-postings cache)
+            if si._term_map is not None:
+                # driver-local fast path (decoded-postings cache); attrs
+                # are resolved per-doc from the doc-attr LRU — one
+                # pushed-down docs scan on cold ids, no full Spark job
+                top = si.bm25_serve(q, k)
+                if not attrs:
+                    return [{"doc_id": d, "score": s} for d, s in top]
+                amap = si.doc_attrs([d for d, _ in top], attrs)
                 return [
-                    {"doc_id": d, "score": s} for d, s in si.bm25_serve(q, k)
+                    {"doc_id": d, "score": s, **amap.get(d, {})} for d, s in top
                 ]
             hits = si.bm25_topk(q, k)
             if attrs:

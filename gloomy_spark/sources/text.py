@@ -16,15 +16,39 @@ from pyspark.sql import functions as F
 
 
 def read_plaintext_docs(
-    spark: SparkSession, path: str, charset: str = "utf-8"
+    spark: SparkSession, path: str, charset: str = "utf-8",
+    stable_ids: bool = True,
 ) -> DataFrame:
     """One document per line: (doc_id, text). Handles *.gz / *.bz2
-    transparently. For non-UTF8, reads bytes and decodes vectorized."""
+    transparently. For non-UTF8, reads bytes and decodes vectorized.
+
+    doc_ids are CONTENT-stable by default: re-reading the same corpus at
+    any parallelism / split layout yields the identical (doc_id, text)
+    set, so resume lineage and cross-run comparisons hold.
+    doc_id = xxhash64(path, text, occurrence), where occurrence numbers
+    duplicate (path, text) lines 1..k — the assignment order within a
+    duplicate group is arbitrary, but the emitted ID SET is permutation-
+    invariant, hence layout-independent. Costs one shuffle on
+    (path, line-hash); only exact-duplicate lines within one file share a
+    key, so there is no meaningful skew. `stable_ids=False` skips the
+    shuffle and falls back to monotonically_increasing_id (partition-
+    layout-dependent — fine for one-shot pipelines)."""
     if charset.lower() in ("utf-8", "utf8"):
-        lines = spark.read.text(path)
+        lines = spark.read.text(path).select(
+            F.input_file_name().alias("path"), F.col("value").alias("text")
+        )
+        if not stable_ids:
+            return lines.select(
+                F.monotonically_increasing_id().alias("doc_id"), "text"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("path", F.xxhash64("text")).orderBy(
+            F.monotonically_increasing_id()
+        )
         return lines.select(
-            F.monotonically_increasing_id().alias("doc_id"),
-            F.col("value").alias("text"),
+            F.xxhash64("path", "text", F.row_number().over(w)).alias("doc_id"),
+            "text",
         )
     # non-UTF8: binaryFile → decode whole file → split lines
     from ..session import ship_package

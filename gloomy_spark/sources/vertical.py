@@ -85,13 +85,86 @@ def parse_vertical(
 
 
 def read_vertical_docs(
-    spark: SparkSession, path: str, doc_tag: str = "doc", attrs: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    doc_tag: str = "doc",
+    attrs: list[str] | None = None,
+    charset: str = "utf-8",
 ) -> DataFrame:
-    """Vertical files → (doc_id, text, <attr columns>). Gzip by extension."""
+    """Vertical files → (doc_id, text, <attr columns>).
+
+    UTF-8 input (plain, .gz or .bz2 — Hadoop decompresses by extension,
+    files/util.go:43-54 parity) goes through a SPLITTABLE reader: the text
+    source with lineSep=``</doc>`` makes each record one document chunk,
+    so a single multi-GB plain ``.vert`` file parallelizes across tasks at
+    exact document boundaries (and bz2, being a splittable codec, does
+    too; gzip stays one-task-per-file — the codec's constraint, same as
+    the reference). Non-UTF8 input falls back to whole-file binary decode
+    (gz/bz2 by extension), matching the plaintext reader.
+
+    doc_ids are CONTENT-stable: xxhash64(path, doc-content-hash,
+    occurrence) — re-reading at any parallelism yields the identical
+    (doc_id, text) set (see sources/text.py for the occurrence-window
+    rationale). Assumes no other structure tag name has ``doc_tag`` as a
+    prefix ending in '>' (true for SGML-ish verticals: ``</docs>`` does
+    not contain ``</doc>`` as a substring)."""
+    attrs = attrs or []
+    if charset.lower() in ("utf-8", "utf8"):
+        return _read_vertical_chunked(spark, path, doc_tag, attrs)
+    return _read_vertical_wholefile(spark, path, doc_tag, attrs, charset)
+
+
+def _read_vertical_chunked(
+    spark: SparkSession, path: str, doc_tag: str, attrs: list[str]
+) -> DataFrame:
     from ..session import ship_package
 
     ship_package(spark)
-    attrs = attrs or []
+    close = f"</{doc_tag}>"
+    chunks = spark.read.option("lineSep", close).text(path).select(
+        F.input_file_name().alias("path"), F.col("value").alias("chunk")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for p, chunk in zip(pdf["path"], pdf["chunk"]):
+                # re-append the close tag the delimiter consumed; a chunk
+                # holds at most one <doc> (text between two </doc>s)
+                for d in parse_vertical(chunk + "\n" + close, doc_tag):
+                    ident = "\x1f".join(
+                        [d["text"]]
+                        + [f"{k}\x1e{v}" for k, v in sorted(d["attrs"].items())]
+                    )
+                    key = hashlib.md5(ident.encode()).hexdigest()
+                    rows.append(
+                        (p, key, d["text"], *[d["attrs"].get(a) for a in attrs])
+                    )
+            cols = ["path", "key", "text", *attrs]
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = "path string, key string, text string" + "".join(
+        f", {a} string" for a in attrs
+    )
+    parsed = chunks.mapInPandas(run, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("path", "key").orderBy(F.monotonically_increasing_id())
+    return parsed.select(
+        F.xxhash64("path", "key", F.row_number().over(w)).alias("doc_id"),
+        "text",
+        *attrs,
+    )
+
+
+def _read_vertical_wholefile(
+    spark: SparkSession, path: str, doc_tag: str, attrs: list[str], charset: str
+) -> DataFrame:
+    from ..session import ship_package
+
+    ship_package(spark)
     bf = spark.read.format("binaryFile").load(path)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,7 +176,11 @@ def read_vertical_docs(
                     import gzip
 
                     body = gzip.decompress(body)
-                for i, d in enumerate(parse_vertical(body.decode("utf-8"), doc_tag)):
+                elif r["path"].endswith(".bz2"):
+                    import bz2
+
+                    body = bz2.decompress(body)
+                for i, d in enumerate(parse_vertical(body.decode(charset), doc_tag)):
                     rows.append(
                         (r["path"], i, d["text"], *[d["attrs"].get(a) for a in attrs])
                     )

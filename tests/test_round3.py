@@ -1,0 +1,247 @@
+"""Round-3 closures: stable doc_ids, splittable/bz2/charset vertical
+reads, pointer-doubling connected components, cap observability,
+thread-safe serving caches, stop-string parity edges."""
+
+from __future__ import annotations
+
+import bz2
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from gloomy_spark.config import EngineConfig
+from gloomy_spark.sources import read_plaintext_docs, read_vertical_docs
+from gloomy_spark.sources.vertical import parse_vertical
+
+
+@pytest.mark.spark
+def test_plaintext_doc_ids_stable_across_partitioning(spark, tmp_path):
+    # duplicate lines included: occurrence numbering must keep the ID SET
+    # identical at any parallelism
+    lines = [f"line number {i % 7} body" for i in range(40)]
+    p = tmp_path / "corpus.txt"
+    p.write_text("\n".join(lines) + "\n")
+
+    def id_set(max_bytes: str) -> set:
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes)
+        try:
+            df = read_plaintext_docs(spark, str(p))
+            return {(r["doc_id"], r["text"]) for r in df.collect()}
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    whole = id_set("128m")
+    split = id_set("64")  # forces many tiny input splits
+    assert len(whole) == 40  # duplicates got distinct ids
+    assert whole == split
+
+
+@pytest.mark.spark
+def test_vertical_split_read_equals_single_partition(spark, tmp_path):
+    # one plain multi-doc .vert file must parallelize at </doc> boundaries
+    body = "".join(
+        f'<doc file="f{i}" n="{i}">\n'
+        + "".join(f"tok{i}_{j}\tX\n" for j in range(20))
+        + "</doc>\n"
+        for i in range(30)
+    )
+    p = tmp_path / "big.vert"
+    p.write_text(body)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+    try:
+        # the whole point: ONE plain file, MANY input splits (the final df
+        # partition count reflects the id-window shuffle + AQE coalesce,
+        # so assert on the delimited scan itself)
+        scan = spark.read.option("lineSep", "</doc>").text(str(p))
+        assert scan.rdd.getNumPartitions() >= 4
+        df = read_vertical_docs(spark, str(p), attrs=["file"])
+        split_rows = {(r["doc_id"], r["text"], r["file"]) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    single = read_vertical_docs(spark, str(p), attrs=["file"])
+    single_rows = {(r["doc_id"], r["text"], r["file"]) for r in single.collect()}
+
+    assert len(split_rows) == 30
+    assert split_rows == single_rows
+    # pure-parser golden: same texts
+    golden = {d["text"] for d in parse_vertical(body)}
+    assert {t for _, t, _ in split_rows} == golden
+
+
+@pytest.mark.spark
+def test_vertical_bz2_charset_roundtrip(spark, tmp_path):
+    # reference files/util.go:43-54: bz2 + charset apply to vertical input
+    txt_tokens = ["Žluťoučký", "kůň", "úpěl"]
+    body = (
+        '<doc file="cs" n="1">\n'
+        + "".join(f"{t}\tX\n" for t in txt_tokens)
+        + "</doc>\n"
+    )
+    p = tmp_path / "cs.vert.bz2"
+    p.write_bytes(bz2.compress(body.encode("windows-1250")))
+    df = read_vertical_docs(spark, str(p), attrs=["file"], charset="windows-1250")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == " ".join(txt_tokens)
+    assert rows[0]["file"] == "cs"
+
+
+@pytest.mark.spark
+def test_vertical_bz2_utf8_splittable_path(spark, tmp_path):
+    body = '<doc n="1">\nalpha\tA\nbeta\tB\n</doc>\n<doc n="2">\ngamma\tC\n</doc>\n'
+    p = tmp_path / "c.vert.bz2"
+    p.write_bytes(bz2.compress(body.encode()))
+    rows = sorted(r["text"] for r in read_vertical_docs(spark, str(p)).collect())
+    assert rows == ["alpha beta", "gamma"]
+
+
+@pytest.mark.spark
+def test_dup_clusters_long_chain_pointer_doubling(spark):
+    # a 300-hop chain: plain min-label propagation needs ~300 rounds;
+    # pointer doubling must converge within the default 20
+    from gloomy_spark.ops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 301
+
+
+@pytest.mark.spark
+def test_dup_clusters_raises_when_not_converged(spark):
+    from gloomy_spark.ops.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iterations=2)
+
+
+@pytest.mark.spark
+def test_capped_bucket_stats_exact(spark):
+    from gloomy_spark.ops.skew import cap_buckets, capped_bucket_stats
+
+    rows = [("hot", i) for i in range(100)] + [("cold", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, doc_id long")
+    kept = cap_buckets(df, ["key"], 16).count()
+    stats = capped_bucket_stats(df, ["key"], 16).collect()[0]
+    assert stats["n_buckets_capped"] == 1
+    assert stats["n_rows_dropped"] == 105 - kept
+
+
+@pytest.mark.spark
+def test_segments_stop_string_parity_edges(spark):
+    # ADVICE parity edges: an uppercase stop string never resets (tokens
+    # are lowercased before the pinned comparison) and a stop string that
+    # is also an ignore string is dropped without resetting
+    from gloomy_spark.functions.text import ngrams_col
+    from gloomy_spark.textnorm import ngrams
+
+    cfg_upper = EngineConfig(stop_strings=(".", ":", "STOP"))
+    cfg_ignored = EngineConfig(
+        stop_strings=(".", ":", "stop"), ignore_strings=("stop",)
+    )
+    texts = [
+        "alpha STOP beta gamma",
+        "alpha stop beta gamma",
+        "one stop two stop three",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for cfg in (cfg_upper, cfg_ignored):
+        got = {
+            r["text"]: r["ng"]
+            for r in df.select(
+                "text", ngrams_col(F.col("text"), 2, cfg).alias("ng")
+            ).collect()
+        }
+        for t in texts:
+            assert got[t] == ngrams(t, 2, cfg), (cfg.stop_strings, t)
+
+
+@pytest.mark.spark
+def test_bm25_serve_concurrent_threads(spark, tmp_path):
+    # hammer bm25_serve from many threads with a tiny cache budget so
+    # eviction races would surface (KeyError / StopIteration / drifted
+    # counter) — results must all equal the single-threaded answer
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    idx = str(tmp_path / "idx")
+    docs = pages_df(spark, 150, partitions=4).select("doc_id", "text")
+    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=2)
+    si = SearchIndex(spark, idx).cache()
+    si._POSTING_CACHE_MAX = 500  # force constant eviction
+
+    queries = ["the data of", "and to in", "that was for"] * 4
+    expected = {q: si.bm25_serve(q, 5) for q in set(queries)}
+
+    errors: list[Exception] = []
+    results: list[tuple[str, list]] = []
+    lock = threading.Lock()
+
+    def worker(q: str) -> None:
+        try:
+            for _ in range(5):
+                r = si.bm25_serve(q, 5)
+                with lock:
+                    results.append((q, r))
+        except Exception as ex:  # noqa: BLE001
+            with lock:
+                errors.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(q,)) for q in queries]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for q, r in results:
+        assert r == expected[q]
+
+
+@pytest.mark.spark
+def test_service_bm25_attrs_fast_path(spark, tmp_path):
+    # /bm25?attrs= must not fall back to a full Spark scoring job when the
+    # driver-local cache is available: answers must match the distributed
+    # metadata join, and repeat calls hit the doc-attr LRU
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+    from gloomy_spark.service import SearchService
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    idx = str(tmp_path / "idx")
+    docs = pages_df(spark, 120, partitions=4)
+    IndexBuilder(spark, cfg).build(
+        docs.select("doc_id", "text", "url", "lang"),
+        idx,
+        n_buckets=2,
+        url_col="url",
+        lang_col="lang",
+    )
+    svc = SearchService(spark, {"c": idx})
+    si = svc.indexes["c"]
+
+    out = svc.bm25("c", "the data", 5, ["url", "lang"])
+    assert out["size"] == 5
+    slow = si.with_doc_metadata(
+        si.bm25_topk("the data", 5), ["url", "lang"]
+    ).collect()
+    slow_map = {r["doc_id"]: (r["url"], r["lang"]) for r in slow}
+    for row in out["rows"]:
+        assert (row["url"], row["lang"]) == slow_map[row["doc_id"]]
+
+    # second distinct-k call reuses the per-doc attr cache (no new scan);
+    # just assert correctness + that the cache is populated
+    assert len(si._doc_attr_cache) >= 5
+    out2 = svc.bm25("c", "the data", 3, ["url"])
+    assert all("url" in r for r in out2["rows"])
