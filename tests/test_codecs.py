@@ -78,3 +78,79 @@ def test_compression_beats_raw_int64():
     docs = np.arange(0, 128 * 50, 3, dtype=np.int64)
     buf, _, _ = encode_posting_block(docs, np.ones(len(docs)), np.ones(len(docs)))
     assert len(buf) < len(docs) * 2
+
+
+# ----------------------------------------------------- >=2^53 big branch --
+# _varint_nbytes switches from the frexp fast path (exact below 2^53) to a
+# masked shift loop for huge values; VERDICT r2 flagged that branch as only
+# implicitly covered.
+
+
+def test_varint_roundtrip_2e53_boundary():
+    from gloomy_spark.codecs import varint_decode, varint_encode
+
+    edge = [
+        (1 << 53) - 1, (1 << 53), (1 << 53) + 1,
+        (1 << 56) - 1, (1 << 56),
+        (1 << 63) - 1, (1 << 63), (1 << 63) + 1,
+        (1 << 64) - 1,
+        0, 1, 127, 128,
+    ]
+    v = np.array(edge, dtype=np.uint64)
+    out = varint_decode(varint_encode(v), len(v))
+    assert out.dtype == np.uint64
+    assert (out == v).all()
+
+
+def test_varint_nbytes_matches_scalar_leb128():
+    # the vectorized byte-count must equal a scalar reference encoder for
+    # every power-of-two neighborhood across the full uint64 range
+    from gloomy_spark.codecs import _varint_nbytes
+
+    def scalar_len(x: int) -> int:
+        n = 1
+        while x >= 0x80:
+            x >>= 7
+            n += 1
+        return n
+
+    vals = []
+    for b in range(64):
+        for d in (-1, 0, 1):
+            x = (1 << b) + d
+            if 0 <= x < (1 << 64):
+                vals.append(x)
+    vals.append((1 << 64) - 1)
+    v = np.array(vals, dtype=np.uint64)
+    got = _varint_nbytes(v)
+    exp = np.array([scalar_len(int(x)) for x in vals])
+    assert (got == exp).all()
+
+
+def test_varint_roundtrip_random_uint64_property():
+    # hypothesis-style property: random full-range uint64 arrays (mixed
+    # small/huge so both branches run in one call) round-trip exactly
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        import pytest
+
+        pytest.skip("hypothesis unavailable")
+
+    from gloomy_spark.codecs import varint_decode, varint_encode
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 64) - 1),
+            min_size=0,
+            max_size=200,
+        )
+    )
+    def roundtrip(xs):
+        v = np.array(xs, dtype=np.uint64)
+        out = varint_decode(varint_encode(v), len(v))
+        assert (out == v).all()
+
+    roundtrip()
