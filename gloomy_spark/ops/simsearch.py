@@ -95,9 +95,14 @@ def ann_lsh_topk(
     codes builds a Hamming-distance histogram relative to the query's
     code, and the smallest radius whose cumulative candidate count ≥ 4k is
     probed — a top-k that can return <k rows only when the corpus itself
-    has <k vectors. At scale the histogram pass collapses to a lookup in a
-    precomputed per-bucket count table (the buckets are a partition
-    column), so adaptivity costs one tiny driver round-trip, not a scan."""
+    has <k vectors.
+
+    This inline form scans the corpus once PER QUERY (histogram + code
+    recomputation) — fine for ad-hoc exploration, wrong for serving. The
+    scale path is `lsh_build` + `lsh_search`: the same policy against a
+    bucket-partitioned store, where the radius pick is a driver lookup in
+    the persisted count table and the candidate fetch is a partition-
+    pruned scan. The two return identical rows (tested)."""
     from ..session import ship_package
 
     ship_package(emb.sparkSession)
@@ -140,6 +145,118 @@ def ann_lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def lsh_build(
+    emb: DataFrame,
+    out_dir: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Materialized hyperplane-LSH store (mirrors `ivf_build`): vectors
+    written as parquet PARTITIONED BY their bucket code, with a per-bucket
+    count table persisted alongside.
+
+    This is what makes LSH-ANN viable at 10⁹ vectors: the inline
+    `ann_lsh_topk` pays a full corpus scan PER QUERY just to pick the
+    probe radius (Hamming histogram) and recomputes every vector's code;
+    against a store, radius selection is a DRIVER LOOKUP over the count
+    table (≤2^n_planes entries, tiny) and the candidate fetch is a
+    partition-PRUNED scan that never opens cold buckets
+    (PartitionFilters on lsh_bucket — asserted in tests). The plane set
+    is derived from (dim, n_planes, seed) so queries recompute it
+    locally; only the counts and layout are stored. For n_planes beyond
+    ~16, partition by a fixed-width code prefix instead to bound
+    directory fan-out (the count table stays exact)."""
+    import json as _json
+
+    from ..session import ship_package
+
+    spark = emb.sparkSession
+    ship_package(spark)
+    dim = len(emb.select(vec_col).first()[0])
+    bucket = lsh_bucket_udf(dim, n_planes, seed)
+    (
+        emb.withColumn("lsh_bucket", bucket(F.col(vec_col)))
+        # shuffle on the bucket before the partitioned write: one file per
+        # bucket instead of one per (task × bucket) — without this a
+        # 1000-task build over 2^12 buckets writes ~4M tiny files
+        .repartition(F.col("lsh_bucket"))
+        .write.mode("overwrite")
+        .partitionBy("lsh_bucket")
+        .parquet(f"{out_dir}/vectors")
+    )
+    counts = {
+        int(r["lsh_bucket"]): int(r["n"])
+        for r in spark.read.parquet(f"{out_dir}/vectors")
+        .groupBy("lsh_bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    meta = {
+        "n_planes": n_planes,
+        "seed": seed,
+        "dim": dim,
+        "bucket_counts": {str(b): n for b, n in sorted(counts.items())},
+    }
+    with open(f"{out_dir}/lsh_meta.json", "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def lsh_search(
+    spark,
+    out_dir: str,
+    query_vec: list[float] | np.ndarray,
+    k: int = 10,
+    min_candidates: int | None = None,
+    exclude_vec_id: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over a materialized LSH store: the probe radius comes
+    from the PERSISTED per-bucket count table (a driver loop over occupied
+    buckets — no corpus scan, no per-query code recomputation), then ONE
+    pruned partition scan reranks exactly inside the probed buckets.
+    Same adaptive-radius policy as `ann_lsh_topk` (cumulative candidates
+    ≥ max(10k, 100, min_candidates)), so the two return identical rows on
+    the same corpus/planes — tested. Pass min_candidates ≥ corpus size to
+    force a full probe, which degenerates to EXACT search (the driver-
+    gate oracle trick, same as IVF's n_probe == n_lists)."""
+    import json as _json
+
+    with open(f"{out_dir}/lsh_meta.json") as f:
+        meta = _json.load(f)
+    n_planes, dim, seed = meta["n_planes"], meta["dim"], meta["seed"]
+    planes = _planes(dim, n_planes, seed)
+    powers = (2 ** np.arange(n_planes)).astype(np.int64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qcode = int(((qv @ planes) > 0) @ powers)
+
+    buckets = np.array([int(b) for b in meta["bucket_counts"]], dtype=np.int64)
+    cnts = np.array(list(meta["bucket_counts"].values()), dtype=np.int64)
+    hd = np.array([bin(int(b) ^ qcode).count("1") for b in buckets])
+    want = max(10 * k, 100, 0 if min_candidates is None else min_candidates)
+    want += 0 if exclude_vec_id is None else 1
+    acc, radius = 0, n_planes
+    for r in range(n_planes + 1):
+        acc += int(cnts[hd == r].sum())
+        if acc >= want:
+            radius = r
+            break
+    probe = [int(b) for b in buckets[hd <= radius]]
+
+    vecs = spark.read.parquet(f"{out_dir}/vectors").where(
+        F.col("lsh_bucket").isin(probe)  # partition pruning: cold buckets unread
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    cos = _dot(F.col(vec_col), qarr) / (_norm(F.col(vec_col)) * _norm(qarr))
+    out = vecs.select(F.col(id_col).alias("vec_id"), F.round(cos, 4).alias("cos_sim"))
+    if exclude_vec_id is not None:
+        out = out.where(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
 
 
 def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:

@@ -245,3 +245,38 @@ def test_service_bm25_attrs_fast_path(spark, tmp_path):
     assert len(si._doc_attr_cache) >= 5
     out2 = svc.bm25("c", "the data", 3, ["url"])
     assert all("url" in r for r in out2["rows"])
+
+
+@pytest.mark.spark
+def test_lsh_store_pruning_equality_and_full_probe_exact(spark, tmp_path):
+    # the materialized LSH store (r2 verdict top item): radius from the
+    # persisted count table, partition-pruned candidate fetch, identical
+    # rows to the inline scanner, exact under full probe
+    from gloomy_spark.ops import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = str(tmp_path / "lsh_store")
+    meta = simsearch.lsh_build(emb, out, n_planes=12)
+    assert sum(meta["bucket_counts"].values()) == emb.count()
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+
+    res = simsearch.lsh_search(spark, out, qv, k=10, exclude_vec_id=0)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # the probe filter must reach the file level, not a post-scan filter
+    assert "PartitionFilters: [" in plan
+    assert "lsh_bucket" in plan.split("PartitionFilters")[1][:160], plan
+
+    # same adaptive policy + same planes ⇒ identical rows to the inline form
+    inline = [tuple(r) for r in simsearch.ann_lsh_topk(emb, 0, 10).collect()]
+    store = [tuple(r) for r in res.collect()]
+    assert store == inline
+
+    # full probe degenerates to exact search
+    exact = [tuple(r) for r in simsearch.cosine_topk(emb, 0, 10).collect()]
+    full = [
+        tuple(r)
+        for r in simsearch.lsh_search(
+            spark, out, qv, k=10, min_candidates=2**62, exclude_vec_id=0
+        ).collect()
+    ]
+    assert full == exact
