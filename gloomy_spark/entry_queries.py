@@ -402,6 +402,17 @@ def _stage_corpus_file(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     lines: list[str] = []
     if fmt == "plaintext":
         lines = [r["text"] for r in rows]  # texts contain no newlines
+    elif fmt == "vertical_structs":
+        # sentences of 10 tokens wrapped in <s n="j"> — the sub-document
+        # structure-attr fixture (each n-gram hit must recover its s.n)
+        for r in rows:
+            lines.append(f'<doc id="{r["doc_id"]}">')
+            toks = r["toks"]
+            for j in range(0, len(toks), 10):
+                lines.append(f'<s n="{j // 10}">')
+                lines.extend(toks[j : j + 10])
+                lines.append("</s>")
+            lines.append("</doc>")
     else:  # vertical: one token per line inside <doc> structures
         for r in rows:
             lines.append(f'<doc id="{r["doc_id"]}">')
@@ -486,6 +497,39 @@ def q_vertical_roundtrip():
 SELECT md5(array_to_string(toks, ' ')) AS content_md5,
        cast(len(toks) AS int) AS n_tokens
 FROM base"""
+    return fn, sql
+
+
+def q_vertical_struct_ngrams():
+    """Per-n-gram SUB-document structure attrs (builder.go:131-139 /
+    metadata.go:25-28): documents → vertical file with <s n=…> sentences
+    of 10 tokens → read_vertical_structs (one row per structure run,
+    windows reset at every structure tag) → bigram counts PER (term, s.n).
+    The oracle recomputes from raw text: bigrams of adjacent token
+    positions within the same pos//10 sentence."""
+    from .sources.vertical import read_vertical_structs
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .functions.text import ngrams_col
+
+        path = _stage_corpus_file(spark, sf_dir, "vertical_structs")
+        sdf = read_vertical_structs(spark, path, attrs=["s.n"])
+        return (
+            sdf.select(
+                "s_n",
+                F.explode(ngrams_col(F.col("text"), 2, CFG)).alias("term"),
+            )
+            .groupBy("term", "s_n")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    sql = f"""WITH {TOKS_CTE},
+big AS (
+  SELECT a.term || ' ' || b.term AS term, CAST(a.pos // 10 AS VARCHAR) AS s_n
+  FROM toks a JOIN toks b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND a.pos // 10 = b.pos // 10
+)
+SELECT term, s_n, count(*) AS cnt FROM big GROUP BY 1, 2"""
     return fn, sql
 
 
@@ -1099,6 +1143,7 @@ def registry() -> dict[str, tuple]:
         # file-source roundtrips (S1 plaintext / S3 vertical / S4 charset)
         "plaintext_roundtrip": q_plaintext_roundtrip(),
         "vertical_roundtrip": q_vertical_roundtrip(),
+        "vertical_struct_ngrams": q_vertical_struct_ngrams(),
         "charset_roundtrip": q_charset_roundtrip(),
         # event-stream analytics (batch twins of streaming/windows.py ops)
         "event_window_counts": q_event_window_counts(1),

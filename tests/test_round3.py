@@ -280,3 +280,121 @@ def test_lsh_store_pruning_equality_and_full_probe_exact(spark, tmp_path):
         ).collect()
     ]
     assert full == exact
+
+
+# ------------------------------------------- sub-doc structure attrs (S3+) --
+
+
+def test_parse_vertical_structs_pure():
+    from gloomy_spark.sources.vertical import parse_vertical_structs
+
+    body = (
+        '<doc file="a.txt">\n'
+        '<s n="1">\nalpha\tA\nbeta\tB\n</s>\n'
+        '<s n="7">\ngamma\tC\ndelta\tD\n</s>\n'
+        "stray\tE\n"
+        "</doc>\n"
+    )
+    runs = parse_vertical_structs(body)
+    assert [(r["run"], r["text"]) for r in runs] == [
+        (0, "alpha beta"), (1, "gamma delta"), (2, "stray"),
+    ]
+    assert runs[0]["attrs"] == {"doc.file": "a.txt", "s.n": "1"}
+    assert runs[1]["attrs"] == {"doc.file": "a.txt", "s.n": "7"}
+    assert runs[2]["attrs"] == {"doc.file": "a.txt"}  # outside any <s>
+
+
+def test_parse_vertical_structs_nested_and_selfclosing():
+    from gloomy_spark.sources.vertical import parse_vertical_structs
+
+    body = (
+        "<doc>\n"
+        '<s n="1">\none\tX\n<b kind="em">\ntwo\tX\n</b>\nthree\tX\n<g/>\nfour\tX\n</s>\n'
+        "</doc>\n"
+    )
+    runs = parse_vertical_structs(body)
+    assert [r["text"] for r in runs] == ["one", "two", "three", "four"]
+    assert runs[1]["attrs"] == {"s.n": "1", "b.kind": "em"}
+    assert runs[2]["attrs"] == {"s.n": "1"}  # </b> popped
+    assert runs[3]["attrs"] == {"s.n": "1"}  # <g/> reset only
+
+
+@pytest.mark.spark
+def test_struct_attrs_recovered_per_ngram_hit(spark, tmp_path):
+    # VERDICT r2 missing #1: two sentences in ONE doc carry different
+    # attr values; every n-gram hit must report the right one, and no
+    # window may span the structure boundary (builder.go:131-139,142-144)
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.query.engine import SearchIndex
+    from gloomy_spark.sources.vertical import read_vertical_structs
+
+    body = (
+        '<doc file="a.txt">\n'
+        '<s n="1">\nalpha\tA\nbeta\tB\n</s>\n'
+        '<s n="7">\ngamma\tC\ndelta\tD\n</s>\n'
+        "</doc>\n"
+        '<doc file="b.txt">\n'
+        '<s n="2">\nalpha\tA\nbeta\tB\n</s>\n'
+        "</doc>\n"
+    )
+    p = tmp_path / "structs.vert"
+    p.write_text(body)
+    sdf = read_vertical_structs(spark, str(p), attrs=["doc.file", "s.n"])
+    rows = {(r["text"], r["doc_file"], r["s_n"]) for r in sdf.collect()}
+    assert rows == {
+        ("alpha beta", "a.txt", "1"),
+        ("gamma delta", "a.txt", "7"),
+        ("alpha beta", "b.txt", "2"),
+    }
+    # runs of one doc share doc_id; distinct docs differ
+    by_doc = {}
+    for r in sdf.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["s_n"])
+    assert sorted(len(v) for v in by_doc.values()) == [1, 2]
+
+    cfg = EngineConfig(block_size=8, doc_bucket_width=8, shuffle_partitions=4)
+    idx = str(tmp_path / "sidx")
+    IndexBuilder(spark, cfg).build(
+        sdf, idx, id_col="struct_id", attr_cols=["doc_file", "s_n"],
+        n_buckets=1, ngram_size=2,
+    )
+    si = SearchIndex(spark, idx)
+    # the window never crosses <s> boundaries
+    assert si.terms.where(F.col("term") == "beta gamma").count() == 0
+    # per-hit sub-doc attrs: each bigram hit reports ITS sentence's n
+    hits = si.with_doc_metadata(si.postings("gamma delta"), ["doc_file", "s_n"])
+    got = [(r["doc_file"], r["s_n"]) for r in hits.collect()]
+    assert got == [("a.txt", "7")]
+    hits2 = si.with_doc_metadata(si.postings("alpha beta"), ["doc_file", "s_n"])
+    assert sorted((r["doc_file"], r["s_n"]) for r in hits2.collect()) == [
+        ("a.txt", "1"), ("b.txt", "2"),
+    ]
+
+
+@pytest.mark.spark
+def test_struct_ids_stable_across_partitioning(spark, tmp_path):
+    from gloomy_spark.sources.vertical import read_vertical_structs
+
+    body = "".join(
+        f'<doc file="f{i}">\n'
+        + "".join(
+            f'<s n="{j}">\n' + f"w{i}_{j}\tX\nv{i}_{j}\tX\n</s>\n" for j in range(3)
+        )
+        + "</doc>\n"
+        for i in range(10)
+    )
+    p = tmp_path / "s.vert"
+    p.write_text(body)
+
+    def rows_at(max_bytes: str) -> set:
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes)
+        try:
+            df = read_vertical_structs(spark, str(p), attrs=["s.n"])
+            return {tuple(r) for r in df.collect()}
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    a, b = rows_at("128m"), rows_at("256")
+    assert len(a) == 30
+    assert a == b
