@@ -359,6 +359,46 @@ class SearchIndex:
 
         return segs.mapInPandas(decode, "doc_id long, tf int, dl int")
 
+    def postings_multi(self, terms: list[str]) -> DataFrame:
+        """Decoded postings of MANY terms in one pushed-down scan:
+        (term, doc_id, tf, dl). Terms missing from the dictionary emit no
+        rows (they may still live in uncompacted streaming runs — the NRT
+        merger unions those in). One Spark scan total, vs one scan + one
+        driver round-trip PER TERM with repeated `postings()` calls."""
+        uniq = list(dict.fromkeys(terms))
+        if self._term_map is not None:
+            found = {t: int(self._term_map[t][0]) for t in uniq if t in self._term_map}
+        else:
+            rows = self.terms.where(F.col("term").isin(uniq)).select(
+                "term", "term_id"
+            ).collect()
+            found = {r["term"]: int(r["term_id"]) for r in rows}
+        if not found:
+            return self.spark.createDataFrame(
+                [], "term string, doc_id long, tf int, dl int"
+            )
+        term_of = {tid: t for t, tid in found.items()}
+        segs = self.segments.where(
+            F.col("term_id").isin(list(found.values()))
+        ).select("term_id", "n_docs", "docs", "tfs", "dls")
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for row in pdf.to_dict("records"):
+                    d, tf, dl = decode_posting_block(
+                        row["docs"], row["tfs"], row["dls"], int(row["n_docs"])
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "term": term_of[int(row["term_id"])],
+                            "doc_id": d,
+                            "tf": tf.astype(np.int32),
+                            "dl": dl.astype(np.int32),
+                        }
+                    )
+
+        return segs.mapInPandas(decode, "term string, doc_id long, tf int, dl int")
+
     def postings_positions(self, term: str) -> DataFrame:
         """Posting list with decoded positions: (doc_id, tf, positions)."""
         tid_rows = self.search_exact(term).select("term_id").collect()

@@ -398,3 +398,54 @@ def test_struct_ids_stable_across_partitioning(spark, tmp_path):
     a, b = rows_at("128m"), rows_at("256")
     assert len(a) == 30
     assert a == b
+
+
+@pytest.mark.spark
+def test_nrt_batch_equals_per_query_one_scan(spark, tmp_path):
+    # batched NRT serving (r2 verdict item): same rows as the per-query
+    # scorer, ONE base-postings scan shared by the whole batch
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+    from gloomy_spark.streaming.incremental import IncrementalIndexer
+    from gloomy_spark.streaming.nrt import nrt_bm25_topk, nrt_bm25_topk_batch
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    base = pages_df(spark, 60, partitions=2).select("doc_id", "text")
+    base_idx = str(tmp_path / "base_idx")
+    IndexBuilder(spark, cfg).build(base, base_idx, n_buckets=1)
+    si = SearchIndex(spark, base_idx)
+
+    fresh = pages_df(spark, 90, partitions=2).where("doc_id >= 60").select(
+        "doc_id", "text"
+    )
+    in_dir = str(tmp_path / "in")
+    fresh.write.mode("overwrite").parquet(in_dir)
+    inc = IncrementalIndexer(spark, str(tmp_path / "work"), cfg)
+    q = inc.start(in_dir, "doc_id long, text string")
+    q.awaitTermination(120)
+
+    queries = ["the data of", "and to that", "zzz missing", "the"]
+    batch = nrt_bm25_topk_batch(si, inc.runs_dir, queries, 5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qi, query in enumerate(queries):
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in nrt_bm25_topk(si, inc.runs_dir, query, 5).collect()
+        ]
+        assert got.get(qi, []) == want, query
+
+    # the base segments parquet is scanned exactly once for the batch
+    # (the segments relation is the only one with a term_id column; the
+    # executed-plan string duplicates scans across AQE's initial/final
+    # sections, so count relations in the optimized logical plan)
+    plan = batch._jdf.queryExecution().optimizedPlan().toString()
+    seg_scans = sum(
+        1 for line in plan.splitlines()
+        if "Relation" in line and "term_id#" in line
+    )
+    assert seg_scans == 1, f"expected 1 base-postings scan, saw {seg_scans}\n{plan}"
