@@ -449,3 +449,24 @@ def test_nrt_batch_equals_per_query_one_scan(spark, tmp_path):
         if "Relation" in line and "term_id#" in line
     )
     assert seg_scans == 1, f"expected 1 base-postings scan, saw {seg_scans}\n{plan}"
+
+
+@pytest.mark.spark
+def test_read_pages_prunes_html_column(spark, tmp_path):
+    # north-rule input shape: the build projection must never pay for the
+    # raw html bytes — Catalyst prunes the column out of the parquet scan
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.sources import pages_to_docs, read_pages
+
+    p = str(tmp_path / "pages.parquet")
+    pages_df(spark, 50, partitions=2).write.parquet(p)
+    docs = pages_to_docs(read_pages(spark, p))
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema, read_schema
+    assert "text" in read_schema and "url" in read_schema
+    # url-hash doc_ids: deterministic, partition-layout independent
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in pages_to_docs(read_pages(spark, p).repartition(7)).collect()}
+    assert a == b and len(a) == 50
