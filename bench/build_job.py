@@ -109,6 +109,7 @@ def main() -> None:
         "terms": manifest.n_terms,
         "postings": manifest.postings_total,
         "cores": cores,
+        "stages": manifest.stages,
         "build_sec": round(build_sec, 2),
         "docs_per_sec": round(manifest.n_docs / build_sec, 1) if build_sec else None,
         "query_sec_total": round(qsec, 2),

@@ -56,6 +56,10 @@ from .index_store import BucketRecord, IndexStore, Manifest
 # below this row count, dictionary id assignment happens driver-side (one
 # collect) instead of the 3-job distributed zipWithIndex pattern
 _DRIVER_ID_LIMIT = 2_000_000
+# per-bucket vocab slice above which the segment shuffle falls back from
+# the driver-tiled explicit partitioner to repartitionByRange (a 5M-term
+# (id, df) slice is ~80 MB on the driver — comfortably under budget)
+_PARTITIONER_DICT_LIMIT = 5_000_000
 
 SEGMENT_SCHEMA = (
     "term_id long, doc_bucket long, first_doc long, last_doc long, n_docs int, "
@@ -451,9 +455,14 @@ class IndexBuilder:
         stages["docs"] = round(time.time() - t0 - sum(stages.values()), 2)
         docs_stats = self.spark.read.parquet(store.docs_path)
         agg = docs_stats.agg(
-            F.count("*").alias("n"), F.avg("doclen").alias("avgdl")
+            F.count("*").alias("n"),
+            F.avg("doclen").alias("avgdl"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
         ).collect()[0]
         n_docs, avgdl = int(agg["n"]), float(agg["avgdl"])
+        min_doc = int(agg["min_doc"]) if agg["min_doc"] is not None else 0
+        max_doc = int(agg["max_doc"]) if agg["max_doc"] is not None else 0
 
         # ---------------------------------------------------------- terms/
         if not (resume and store.stage_done("terms")):
@@ -465,6 +474,10 @@ class IndexBuilder:
                 # reference minNgramFreq HAVING filter (builder.go:199);
                 # postings of dropped terms vanish at the bucket dict-join
                 dict_df = dict_df.where(F.col("cf") >= min_term_freq)
+            # materialize the (small) dictionary once: assign_dense_ids
+            # counts it and the write scans it again — without this the
+            # 40M-row postings aggregation runs twice
+            dict_df = dict_df.localCheckpoint()
             dict_df = assign_dense_ids(dict_df, "term", "term_id", shuffle_parts)
             try:
                 (
@@ -495,18 +508,73 @@ class IndexBuilder:
                 total_postings += done[k].n_postings
                 continue
             bt0 = time.time()
-            bucket_terms = terms.where(
-                (F.col("term_id") >= lo) & (F.col("term_id") < hi)
-            ).select("term", "term_id", "idf")
             pos_cols = ["positions"] if "positions" in postings.columns else []
-            joined = postings.join(F.broadcast(bucket_terms), "term").select(
-                "term_id", "doc_id", "tf", "dl", "idf", *pos_cols
-            )
-            segs = (
-                joined.repartitionByRange(shuffle_parts, "term_id", "doc_id")
-                .sortWithinPartitions("term_id", "doc_id")
-                .mapInArrow(writer, SEGMENT_SCHEMA)
-            )
+            if hi - lo <= _PARTITIONER_DICT_LIMIT:
+                # dictionary-driven EXPLICIT partitioning: per-term posting
+                # counts (df) are already known, so the segment shuffle
+                # needs no repartitionByRange — whose RangePartitioner runs
+                # a sampling job that recomputes the ENTIRE postings⨝dict
+                # projection once more just to learn a distribution the
+                # dictionary already states. Terms are tiled into ~equal
+                # posting chunks in term_id order; a term straddling a
+                # chunk boundary splits into doc_id RANGE sub-chunks
+                # (width_bucket over [min_doc, max_doc] — doc ids are
+                # sequential or 64-bit hashes, i.e. ~uniform), so per-term
+                # blocks stay globally doc-sorted and non-overlapping and
+                # a head term ("the" ≈ every doc) spreads over many
+                # partitions (explicit skew handling, north rule).
+                bt_pdf = (
+                    terms.where(
+                        (F.col("term_id") >= lo) & (F.col("term_id") < hi)
+                    )
+                    .select("term", "term_id", "idf", "df")
+                    .toPandas()
+                    .sort_values("term_id", ignore_index=True)
+                )
+                df_arr = bt_pdf["df"].to_numpy(np.int64)
+                cum = np.concatenate(([0], np.cumsum(df_arr)))
+                # ~4 chunks per partition slot: fine chunks bound the
+                # straggler a hash collision of two chunks can create
+                target = max(1, int(-(-int(cum[-1]) // (shuffle_parts * 4))))
+                bt_pdf["pid_base"] = (cum[:-1] // target).astype(np.int32)
+                bt_pdf["n_splits"] = (
+                    (cum[1:] - 1) // target - cum[:-1] // target + 1
+                ).astype(np.int32)
+                n_pids = int((cum[-1] - 1) // target + 1) if cum[-1] else 1
+                dim = self.spark.createDataFrame(
+                    bt_pdf[["term", "term_id", "idf", "pid_base", "n_splits"]]
+                )
+                joined = postings.join(F.broadcast(dim), "term")
+                pid = F.col("pid_base") + F.when(
+                    F.col("n_splits") > 1,
+                    F.width_bucket(
+                        F.col("doc_id"),
+                        F.lit(min_doc),
+                        F.lit(max_doc + 1),
+                        F.col("n_splits"),
+                    ) - 1,
+                ).otherwise(F.lit(0))
+                segs = (
+                    joined.withColumn("_pid", pid.cast("int"))
+                    .repartition(n_pids, F.col("_pid"))
+                    .sortWithinPartitions("term_id", "doc_id")
+                    .select("term_id", "doc_id", "tf", "dl", "idf", *pos_cols)
+                    .mapInArrow(writer, SEGMENT_SCHEMA)
+                )
+            else:
+                # vocabulary slice too large for a driver-side tiling —
+                # fall back to the sampling range shuffle
+                bucket_terms = terms.where(
+                    (F.col("term_id") >= lo) & (F.col("term_id") < hi)
+                ).select("term", "term_id", "idf")
+                joined = postings.join(F.broadcast(bucket_terms), "term").select(
+                    "term_id", "doc_id", "tf", "dl", "idf", *pos_cols
+                )
+                segs = (
+                    joined.repartitionByRange(shuffle_parts, "term_id", "doc_id")
+                    .sortWithinPartitions("term_id", "doc_id")
+                    .mapInArrow(writer, SEGMENT_SCHEMA)
+                )
             segs.write.mode("overwrite").parquet(store.bucket_dir(k))
             stages[f"segments_write_{k}"] = round(
                 time.time() - t0 - sum(stages.values()), 2

@@ -121,7 +121,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.format == "text":
             docs = read_plaintext_docs(spark, args.input, charset=args.charset)
         elif args.format == "vertical":
-            docs = read_vertical_docs(spark, args.input, attrs=attrs)
+            docs = read_vertical_docs(
+                spark, args.input, attrs=attrs, charset=args.charset
+            )
         elif args.format == "wholefile":
             docs = read_wholefile_docs(spark, args.input)
         else:

@@ -1113,6 +1113,21 @@ def q_embedding_pairs(threshold: float):
     return fn, None  # LSH-pruned candidate set → approximate by design
 
 
+def q_embedding_pairs_exact(threshold: float):
+    """Exact all-pairs cosine twin of embedding_near_pairs — value-gates
+    the scoring arithmetic the LSH variant shares (same _dot/_norm/round
+    path), the way jaccard_pairs gates lsh_jaccard_pipeline."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return simsearch.pairwise_above_exact(_emb(spark, sf_dir), threshold)
+
+    sql = f"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= {threshold}"""
+    return fn, sql
+
+
 # ---------------------------------------------------------------- registry --
 
 
@@ -1164,6 +1179,7 @@ def registry() -> dict[str, tuple]:
         "ann_lsh_full_probe": q_ann_lsh_full_probe(0, 10),
         "ann_ivf_topk": q_ann_ivf(0, 10),
         "embedding_near_pairs": q_embedding_pairs(0.3),
+        "embedding_pairs_exact": q_embedding_pairs_exact(0.3),
         # text analysis
         "language_id": q_language_id(),
         "quality_score": q_quality_score(),

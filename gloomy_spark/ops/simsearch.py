@@ -398,6 +398,27 @@ def ivf_search(
     )
 
 
+def pairwise_above_exact(
+    emb: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold (vec_a < vec_b) — the
+    oracle-checkable twin of `pairwise_above` (which prunes candidates
+    with band-OR LSH). O(n²) pairs by construction: use it for small
+    corpora and for value-gating the LSH variant; at web scale the pruned
+    form is the only viable shape (same relationship as jaccard_pairs vs
+    lsh_jaccard_pipeline)."""
+    l = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    r = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    cand = l.join(r, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return cand.select(
+        "vec_a", "vec_b", F.round(cos, 4).alias("cos_sim")
+    ).where(F.col("cos_sim") >= threshold)
+
+
 def pairwise_above(
     emb: DataFrame,
     threshold: float,

@@ -622,12 +622,17 @@ class SearchIndex:
             rows = self.bm25_topk(query, k).collect()  # distributed fallback
             return [(r["doc_id"], r["score"]) for r in rows]
 
+        # grab references for cached terms UNDER the lock; entries are
+        # immutable (np arrays) so holding a reference keeps them valid
+        # even if another thread evicts the dict slot a microsecond later
+        tids = [int(self._term_map[t][0]) for t in toks]
         with self._posting_cache_lock:
-            missing = [
-                int(self._term_map[t][0])
-                for t in toks
-                if int(self._term_map[t][0]) not in self._posting_cache
-            ]
+            entries = {
+                tid: self._posting_cache[tid]
+                for tid in tids
+                if tid in self._posting_cache
+            }
+        missing = [tid for tid in tids if tid not in entries]
         if missing:
             # fetch OUTSIDE the lock (a Spark scan must not serialize other
             # threads' cache hits); two threads missing the same term just
@@ -653,6 +658,11 @@ class SearchIndex:
                 # cache tf-part of the score (idf applied at query time)
                 part = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
                 fetched[int(tid)] = (d, part)
+            # score from the locally-fetched arrays DIRECTLY — the cache
+            # is an optimization, never the source of truth, so a
+            # cross-thread eviction between insert and use can't force a
+            # fallback (results stay deterministic driver-local arithmetic)
+            entries.update(fetched)
             with self._posting_cache_lock:
                 for tid, ent in fetched.items():
                     self._posting_cache.setdefault(tid, ent)
@@ -666,21 +676,13 @@ class SearchIndex:
                     del self._posting_cache[old_tid]
 
         docs_l, scores_l = [], []
-        with self._posting_cache_lock:
-            entries = {
-                int(self._term_map[t][0]): self._posting_cache.get(
-                    int(self._term_map[t][0])
-                )
-                for t in toks
-            }
         for t in toks:
             tid, idf = self._term_map[t]
             ent = entries.get(int(tid))
             if ent is None:
-                # evicted between fetch and use — a silently missing term
-                # would corrupt scores, so take the distributed path
-                rows = self.bm25_topk(query, k).collect()
-                return [(r["doc_id"], r["score"]) for r in rows]
+                # term indexed but zero blocks fetched (can only happen on
+                # an empty postings anomaly) — skip it, contributes nothing
+                continue
             docs_l.append(ent[0])
             scores_l.append(ent[1] * float(idf))
         if not docs_l:

@@ -30,9 +30,12 @@ def read_plaintext_docs(
     duplicate group is arbitrary, but the emitted ID SET is permutation-
     invariant, hence layout-independent. Costs one shuffle on
     (path, line-hash); only exact-duplicate lines within one file share a
-    key, so there is no meaningful skew. `stable_ids=False` skips the
-    shuffle and falls back to monotonically_increasing_id (partition-
-    layout-dependent — fine for one-shot pipelines)."""
+    key. Duplicate groups are numbered sequentially (no layout-free salt
+    exists for byte-identical rows), so a pathological file that is
+    mostly ONE repeated line concentrates that group on one task —
+    for such corpora dedup first or pass `stable_ids=False`, which skips
+    the shuffle and falls back to monotonically_increasing_id
+    (partition-layout-dependent — fine for one-shot pipelines)."""
     if charset.lower() in ("utf-8", "utf8"):
         lines = spark.read.text(path).select(
             F.input_file_name().alias("path"), F.col("value").alias("text")
