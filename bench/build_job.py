@@ -97,9 +97,25 @@ def main() -> None:
         qsec = time.time() - tq
         # batched serving model: ALL queries in ONE job — the per-query
         # scheduling floor amortizes, so this is the number that should
-        # scale with cores (query_id is the list index, so repeats are ok)
+        # scale with cores. DISTINCT Zipf-sampled queries (seeded): the
+        # batch scorer memoizes identical term-sets, so a repeated-query
+        # workload would measure memoization, not scoring throughput.
+        import numpy as np
+
+        from gloomy_spark.corpus import build_vocab
+
+        vocab = build_vocab()
+        rng = np.random.default_rng(7)
+        probs = 1.0 / np.arange(1, len(vocab) + 1, dtype=np.float64) ** 0.7
+        probs /= probs.sum()
         n_batch = max(args.queries, 40)
-        batch_qs = [queries[i % len(queries)] for i in range(n_batch)]
+        batch_qs = [
+            " ".join(
+                vocab[i]
+                for i in rng.choice(len(vocab), size=int(l), replace=False, p=probs)
+            )
+            for l in rng.integers(1, 5, size=n_batch)
+        ]
         tb = time.time()
         si.bm25_topk_batch(batch_qs, 10).collect()
         bsec = time.time() - tb

@@ -39,6 +39,9 @@ def run_at(cores: int, docs: int, queries: int = 10, n_buckets: int = 1) -> dict
         "--docs", str(docs),
         "--queries", str(queries),
         "--n-buckets", str(n_buckets),
+        # pin the corpus file layout so N and 4N read IDENTICAL input
+        # (otherwise parts = cores*2 bakes the parallelism into the data)
+        "--partitions", "8",
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=REPO)
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]

@@ -465,6 +465,10 @@ class IndexBuilder:
         max_doc = int(agg["max_doc"]) if agg["max_doc"] is not None else 0
 
         # ---------------------------------------------------------- terms/
+        # dict_pdf: driver-resident (term, term_id, df, cf, idf) when the
+        # vocabulary is driver-sized — reused for segment-shuffle tiling
+        # and bucket metrics so those stages cost zero extra Spark jobs
+        dict_pdf: pd.DataFrame | None = None
         if not (resume and store.stage_done("terms")):
             dict_df = postings.groupBy("term").agg(
                 F.count("*").cast("long").alias("df"),
@@ -474,25 +478,59 @@ class IndexBuilder:
                 # reference minNgramFreq HAVING filter (builder.go:199);
                 # postings of dropped terms vanish at the bucket dict-join
                 dict_df = dict_df.where(F.col("cf") >= min_term_freq)
-            # materialize the (small) dictionary once: assign_dense_ids
-            # counts it and the write scans it again — without this the
-            # 40M-row postings aggregation runs twice
-            dict_df = dict_df.localCheckpoint()
-            dict_df = assign_dense_ids(dict_df, "term", "term_id", shuffle_parts)
-            try:
+            # bounded-collect probe: ONE job computes the 40M-row agg AND
+            # fetches the vocab when it is driver-sized (the common case
+            # even for web corpora — vocabularies are millions of terms,
+            # not billions); oversized vocabs take the distributed
+            # zipWithIndex path below
+            head = dict_df.limit(_DRIVER_ID_LIMIT + 1).collect()
+            if len(head) <= _DRIVER_ID_LIMIT:
+                dict_pdf = pd.DataFrame(
+                    {
+                        "term": [r["term"] for r in head],
+                        "df": np.array([r["df"] for r in head], np.int64),
+                        "cf": np.array([r["cf"] for r in head], np.int64),
+                    }
+                ).sort_values("term", ignore_index=True)
+                dict_pdf["term_id"] = np.arange(len(dict_pdf), dtype=np.int64)
+                # literal log(1 + x), mirroring bm25_idf, so driver- and
+                # JVM-computed idf stay bit-identical
+                dfv = dict_pdf["df"].to_numpy(np.float64)
+                dict_pdf["idf"] = np.log(
+                    1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5)
+                )
                 (
-                    dict_df.withColumn("idf", bm25_idf(n_docs, F.col("df")))
-                    .select("term", "term_id", "df", "cf", "idf")
+                    self.spark.createDataFrame(
+                        dict_pdf[["term", "term_id", "df", "cf", "idf"]],
+                        "term string, term_id long, df long, cf long, idf double",
+                    )
+                    .coalesce(1)
                     .write.mode("overwrite")
                     .parquet(store.terms_path)
                 )
-            finally:
-                # release the cache assign_dense_ids pinned for its offsets
-                dep = getattr(dict_df, "_gloomy_persisted", None)
-                if dep is not None:
-                    dep.unpersist()
+            else:
+                # materialize once: assign_dense_ids counts it and the
+                # write scans it again
+                dict_df = dict_df.localCheckpoint()
+                dict_df = assign_dense_ids(
+                    dict_df, "term", "term_id", shuffle_parts
+                )
+                try:
+                    (
+                        dict_df.withColumn(
+                            "idf", bm25_idf(n_docs, F.col("df"))
+                        )
+                        .select("term", "term_id", "df", "cf", "idf")
+                        .write.mode("overwrite")
+                        .parquet(store.terms_path)
+                    )
+                finally:
+                    # release the cache assign_dense_ids pinned for offsets
+                    dep = getattr(dict_df, "_gloomy_persisted", None)
+                    if dep is not None:
+                        dep.unpersist()
         terms = self.spark.read.parquet(store.terms_path)
-        n_terms = terms.count()
+        n_terms = len(dict_pdf) if dict_pdf is not None else terms.count()
         stages["terms"] = round(time.time() - t0 - sum(stages.values()), 2)
 
         # ------------------------------------------------ segments/bucket=K
@@ -508,6 +546,7 @@ class IndexBuilder:
                 total_postings += done[k].n_postings
                 continue
             bt0 = time.time()
+            bt_pdf = None
             pos_cols = ["positions"] if "positions" in postings.columns else []
             if hi - lo <= _PARTITIONER_DICT_LIMIT:
                 # dictionary-driven EXPLICIT partitioning: per-term posting
@@ -523,14 +562,20 @@ class IndexBuilder:
                 # blocks stay globally doc-sorted and non-overlapping and
                 # a head term ("the" ≈ every doc) spreads over many
                 # partitions (explicit skew handling, north rule).
-                bt_pdf = (
-                    terms.where(
-                        (F.col("term_id") >= lo) & (F.col("term_id") < hi)
+                if dict_pdf is not None:
+                    # dictionary already driver-resident: zero extra jobs
+                    bt_pdf = dict_pdf.iloc[lo:hi][
+                        ["term", "term_id", "idf", "df"]
+                    ].reset_index(drop=True)
+                else:
+                    bt_pdf = (
+                        terms.where(
+                            (F.col("term_id") >= lo) & (F.col("term_id") < hi)
+                        )
+                        .select("term", "term_id", "idf", "df")
+                        .toPandas()
+                        .sort_values("term_id", ignore_index=True)
                     )
-                    .select("term", "term_id", "idf", "df")
-                    .toPandas()
-                    .sort_values("term_id", ignore_index=True)
-                )
                 df_arr = bt_pdf["df"].to_numpy(np.int64)
                 cum = np.concatenate(([0], np.cumsum(df_arr)))
                 # ~4 chunks per partition slot: fine chunks bound the
@@ -579,38 +624,51 @@ class IndexBuilder:
             stages[f"segments_write_{k}"] = round(
                 time.time() - t0 - sum(stages.values()), 2
             )
-            # bucket metrics from the committed files: small-column agg only
-            # (summing length() of the five binary payload columns would
-            # re-scan every compressed posting byte); payload bytes come
-            # from the parquet file sizes on disk
-            written = self.spark.read.parquet(store.bucket_dir(k))
-            m = written.agg(
-                F.countDistinct("term_id").alias("nt"),
-                F.count("*").alias("nb"),
-                F.sum("n_docs").alias("np"),
-            ).collect()[0]
-            bucket_bytes = sum(
-                e.stat().st_size
+            # bucket metrics without re-scanning payload bytes: the
+            # dictionary slice already states n_terms and n_postings
+            # (sum df) exactly, block count comes from parquet footers
+            # (metadata-only), payload bytes from file sizes on disk.
+            # Only the range-shuffle fallback (no driver tiling) pays a
+            # small-column Spark agg.
+            pq_files = [
+                e.path
                 for e in os.scandir(store.bucket_dir(k))
                 if e.name.endswith(".parquet")
-            )
+            ]
+            if bt_pdf is not None:
+                import pyarrow.parquet as _pq
+
+                m_nt = int(len(bt_pdf))
+                m_np = int(bt_pdf["df"].sum())
+                m_nb = sum(
+                    _pq.ParquetFile(f).metadata.num_rows for f in pq_files
+                )
+            else:
+                written = self.spark.read.parquet(store.bucket_dir(k))
+                m = written.agg(
+                    F.countDistinct("term_id").alias("nt"),
+                    F.count("*").alias("nb"),
+                    F.sum("n_docs").alias("np"),
+                ).collect()[0]
+                m_nt, m_nb, m_np = int(m["nt"]), int(m["nb"]), int(m["np"] or 0)
+            bucket_bytes = sum(os.stat(f).st_size for f in pq_files)
             elapsed = time.time() - bt0
             store.append_bucket(
                 BucketRecord(
                     bucket=k,
                     term_id_lo=lo,
                     term_id_hi=hi,
-                    n_terms=int(m["nt"]),
-                    n_blocks=int(m["nb"]),
-                    n_postings=int(m["np"] or 0),
+                    n_terms=m_nt,
+                    n_blocks=m_nb,
+                    n_postings=m_np,
                     bytes_payload=bucket_bytes,
                     elapsed_sec=elapsed,
-                    terms_per_sec=(int(m["nt"]) / elapsed if elapsed > 0 else 0.0),
-                    postings_per_sec=(int(m["np"] or 0) / elapsed if elapsed > 0 else 0.0),
+                    terms_per_sec=(m_nt / elapsed if elapsed > 0 else 0.0),
+                    postings_per_sec=(m_np / elapsed if elapsed > 0 else 0.0),
                     input_snapshot=input_snapshot,
                 )
             )
-            total_postings += int(m["np"] or 0)
+            total_postings += m_np
             if fail_after_bucket is not None and k >= fail_after_bucket:
                 raise RuntimeError(f"injected failure after bucket {k}")
 

@@ -470,3 +470,37 @@ def test_read_pages_prunes_html_column(spark, tmp_path):
     a = {tuple(r) for r in docs.collect()}
     b = {tuple(r) for r in pages_to_docs(read_pages(spark, p).repartition(7)).collect()}
     assert a == b and len(a) == 50
+
+
+@pytest.mark.spark
+def test_bm25_batch_sparse_doc_span_fallback(spark, tmp_path):
+    # hashed/sparse doc-id spaces can put a >4M-doc span inside one
+    # doc_bucket — the batch scorer must take the sort-based path there
+    # and still match per-query results exactly
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+
+    cfg = EngineConfig(
+        block_size=32, doc_bucket_width=1 << 30, shuffle_partitions=8
+    )
+    idx = str(tmp_path / "idx")
+    docs = pages_df(spark, 80, partitions=4).select(
+        (F.col("doc_id") * 5_000_001).alias("doc_id"), "text"
+    )
+    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=1)
+    si = SearchIndex(spark, idx)
+    queries = ["the data of", "spark table column", "the"]
+    batch = si.bm25_topk_batch(queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9))
+        )
+    for qi, q in enumerate(queries):
+        single = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in si.bm25_topk(q, k=5).collect()
+        ]
+        got = sorted(by_q.get(qi, []), key=lambda t: (-t[1], t[0]))
+        assert got == single, q
