@@ -143,22 +143,58 @@ def assign_dense_ids(
     return out
 
 
+def _encode_positions_binary(val_bounds: np.ndarray, flat: np.ndarray):
+    """Per-posting ascending position lists (flattened, posting boundaries
+    at ``val_bounds``, len n+1) → Arrow binary column of per-posting
+    delta+varint buffers.
+
+    Byte-compatible with the segment block format: each posting's delta
+    sequence starts with its absolute first value, so per-posting spans
+    are independent and concatenating consecutive postings' buffers is
+    EXACTLY the bulk flat_delta_positions+varint encoding the writer used
+    to produce. Encoding at inversion time (not at the segment shuffle)
+    moves ~1-2 bytes/position through the shuffle instead of a 4-byte
+    array slot — the shuffle is the bandwidth-bound stage at scale."""
+    import pyarrow as pa
+
+    n = len(val_bounds) - 1
+    if flat.size == 0:
+        return pa.array([b""] * n, type=pa.binary())
+    deltas = flat.astype(np.int64, copy=True)
+    deltas[1:] -= flat[:-1]
+    starts = val_bounds[:-1]
+    nz = starts[(val_bounds[1:] - starts) > 0]
+    deltas[nz] = flat[nz]
+    buf, off = varint_encode_with_offsets(deltas)
+    byte_off = off[val_bounds].astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(byte_off.tobytes()), pa.py_buffer(buf)],
+    )
+
+
 def _partition_inverter(cfg: EngineConfig):
     """mapInArrow per-partition inversion (the RAMNgramList/SPIMI analog,
     ngramlist.go:79-115, fully vectorized):
 
         (doc_id, tokens, doclen) → (term, doc_id, tf, dl, positions)
 
-    computed WITHOUT any shuffle: pandas factorize (hash, O(n)) maps terms
-    to codes, one integer lexsort groups (doc, term), run-length boundaries
-    give tf, and positions are emitted as a zero-copy Arrow ListArray from
-    (offsets, values) — no per-posting Python objects anywhere. The global
-    merge of these per-partition runs is the segment stage's range shuffle
-    (Spark's external sort == the reference's k-way chunk merge)."""
+    computed WITHOUT any shuffle: Arrow dictionary_encode (C++ hash,
+    O(n)) maps terms to codes, ONE stable radix argsort on a
+    (doc-run, code) composite key groups (doc, term) — rows arrive
+    doc-grouped with ascending positions, so no further keys are needed —
+    run-length boundaries give tf, and positions are emitted PRE-ENCODED
+    as per-posting delta+varint binary (see _encode_positions_binary) so
+    the segment shuffle moves compressed bytes. No per-posting Python
+    objects anywhere. The global merge of these per-partition runs is the
+    segment stage's shuffle (Spark's external sort == the reference's
+    k-way chunk merge)."""
     store_positions = cfg.store_positions
 
     def invert(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         for batch in batches:
             n_rows = batch.num_rows
@@ -181,19 +217,27 @@ def _partition_inverter(cfg: EngineConfig):
                 np.arange(offsets[0], offsets[0] + total, dtype=np.int64)
                 - np.repeat(starts, lens)
             )
-            # hash-factorize term strings → int codes (no string sort)
-            codes, uniques = pd.factorize(
-                pd.Series(values.to_pandas()), use_na_sentinel=False
+            # hash-factorize term strings → int codes, Arrow-native
+            # (C++ hash table; no pandas object round trip)
+            dict_enc = values.dictionary_encode()
+            codes = dict_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uniques = dict_enc.dictionary
+            # rows arrive grouped by doc (np.repeat over batch rows) and
+            # positions ascend within each doc, so ONE stable radix sort
+            # on a (doc-run, term-code) composite key replaces the 3-key
+            # lexsort — positions stay ascending per group for free
+            doc_idx = np.repeat(
+                np.arange(n_rows, dtype=np.int64), lens
             )
-            codes = codes.astype(np.int64)
-            order = np.lexsort((pos_in_doc, codes, flat_docs))
+            n_uniq = np.int64(len(uniques))
+            order = np.argsort(doc_idx * n_uniq + codes, kind="stable")
             sc, sd, sp, sl = codes[order], flat_docs[order], pos_in_doc[order], flat_dl[order]
             boundary = np.nonzero((sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1]))[0]
             g_start = np.concatenate(([0], boundary + 1))
             g_end = np.concatenate((boundary + 1, [total]))
             tf = (g_end - g_start).astype(np.int32)
 
-            term_arr = pa.array(np.asarray(uniques, dtype=object)[sc[g_start]], type=pa.string())
+            term_arr = pc.take(uniques, pa.array(sc[g_start], type=pa.int64()))
             cols = [
                 term_arr,
                 pa.array(sd[g_start], type=pa.int64()),
@@ -202,18 +246,20 @@ def _partition_inverter(cfg: EngineConfig):
             ]
             names = ["term", "doc_id", "tf", "dl"]
             if store_positions:
-                pos_offsets = np.concatenate((g_start, [total])).astype(np.int32)
-                pos_list = pa.ListArray.from_arrays(
-                    pa.array(pos_offsets), pa.array(sp.astype(np.int32))
+                # pre-encoded per-posting delta+varint buffers: the segment
+                # shuffle then moves compressed bytes, and the block writer
+                # concatenates buffers instead of re-encoding
+                val_bounds = np.concatenate((g_start, [total])).astype(np.int64)
+                cols.append(
+                    _encode_positions_binary(val_bounds, sp.astype(np.int64))
                 )
-                cols.append(pos_list)
                 names.append("positions")
             yield pa.RecordBatch.from_arrays(cols, names=names)
 
     return invert
 
 
-POSTINGS_SCHEMA = "term string, doc_id long, tf int, dl int, positions array<int>"
+POSTINGS_SCHEMA = "term string, doc_id long, tf int, dl int, positions binary"
 POSTINGS_SCHEMA_NOPOS = "term string, doc_id long, tf int, dl int"
 
 
@@ -274,7 +320,33 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
                 )
 
             has_pos = store_positions and batch.schema.get_field_index("positions") >= 0
-            if has_pos:
+            if has_pos and pa.types.is_binary(batch.schema.field("positions").type):
+                # positions arrive PRE-ENCODED per posting (delta+varint,
+                # independent spans): a block's buffer is a contiguous
+                # slice of the column's data buffer — zero re-encoding.
+                # pos_counts == per-posting position counts == tf (every
+                # occurrence carries exactly one position), so the counts
+                # buffer is derived from tf without touching position data.
+                pos_col = batch.column("positions")
+                if isinstance(pos_col, pa.ChunkedArray):
+                    pos_col = pos_col.combine_chunks()
+                offs = np.frombuffer(pos_col.buffers()[1], dtype=np.int32)[
+                    pos_col.offset : pos_col.offset + len(pos_col) + 1
+                ].astype(np.int64)
+                data_buf = pos_col.buffers()[2]
+                data_mv = (
+                    memoryview(data_buf) if data_buf is not None else memoryview(b"")
+                )
+                cnt_all, cnt_off = varint_encode_with_offsets(tf)
+                pos_counts_arr = slices(cnt_all, cnt_off)
+                positions_arr = pa.array(
+                    [
+                        data_mv[offs[s] : offs[e]]
+                        for s, e in zip(b_start, b_end)
+                    ],
+                    type=pa.binary(),
+                )
+            elif has_pos:
                 pos_col = batch.column("positions")
                 if isinstance(pos_col, pa.ChunkedArray):
                     pos_col = pos_col.combine_chunks()

@@ -30,9 +30,17 @@ def _as_uint64(values: np.ndarray) -> np.ndarray:
 
 
 def _varint_nbytes(v: np.ndarray) -> np.ndarray:
-    """Per-value LEB128 byte count in ONE vectorized pass: bit length via
+    """Per-value LEB128 byte count in ONE vectorized pass: threshold
+    compares for small ranges (position/doc deltas are almost always
+    1-2 bytes — integer compares beat float frexp there), bit length via
     frexp for values < 2^53 (exact there), masked shift loop only for the
     rare huge values."""
+    if v.size and int(v.max()) < (1 << 28):
+        nb = np.ones(v.shape, dtype=np.int64)
+        nb += v >= np.uint64(1 << 7)
+        nb += v >= np.uint64(1 << 14)
+        nb += v >= np.uint64(1 << 21)
+        return nb
     small = v < np.uint64(1 << 53)
     nbits = np.empty(v.shape, dtype=np.int64)
     if small.all():
@@ -60,6 +68,12 @@ def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = _as_uint64(values)
     if v.size == 0:
         return b"", np.zeros(1, dtype=np.int64)
+    if int(v.max()) < (1 << 7):
+        # all-1-byte fast path (typical for position deltas): the varint
+        # IS the value byte — no byte-count pass, no masked scatter
+        return v.astype(np.uint8).tobytes(), np.arange(
+            v.size + 1, dtype=np.int64
+        )
     nbytes = _varint_nbytes(v)
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
@@ -78,6 +92,8 @@ def varint_encode(values: np.ndarray) -> bytes:
     v = _as_uint64(values)
     if v.size == 0:
         return b""
+    if int(v.max()) < (1 << 7):
+        return v.astype(np.uint8).tobytes()
     nbytes = _varint_nbytes(v)
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)

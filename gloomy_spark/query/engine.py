@@ -174,6 +174,13 @@ def _bucket_scorer(p: _Bm25Params):
 def _topk_df(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
     if len(docs) == 0:
         return pd.DataFrame({"doc_id": [], "score": []})
+    if len(docs) > max(4 * k, 4096):
+        # O(n) prefilter: keep everything ≥ the kth score (ties included,
+        # so the lexsort below still breaks them exactly), then sort the
+        # small survivor set instead of the full candidate array
+        thr = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = scores >= thr
+        docs, scores = docs[keep], scores[keep]
     # score desc, doc_id asc tie-break
     order = np.lexsort((docs, -scores))[:k]
     return pd.DataFrame({"doc_id": docs[order].astype(np.int64), "score": scores[order]})

@@ -126,9 +126,47 @@ class IncrementalIndexer:
         merged = runs.join(latest, ["doc_id", "run"], "inner").drop("run")
 
         # the batch builder accepts prebuilt postings via its internal
-        # staging path: write them where the builder's resume logic looks
+        # staging path: write them where the builder's resume logic looks.
+        # Runs store positions as array<int> (collect_list output); the
+        # builder's postings_raw contract is PRE-ENCODED per-posting
+        # delta+varint binary, so convert at this boundary.
         os.makedirs(index_dir, exist_ok=True)
         postings_path = os.path.join(index_dir, "postings_raw")
+        if "positions" in merged.columns:
+            from ..build import POSTINGS_SCHEMA, _encode_positions_binary
+
+            def _enc(batches):
+                import numpy as np
+                import pyarrow as pa
+
+                for batch in batches:
+                    if batch.num_rows == 0:
+                        continue
+                    pos = batch.column("positions")
+                    if isinstance(pos, pa.ChunkedArray):
+                        pos = pos.combine_chunks()
+                    offs = pos.offsets.to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    vals = pos.values.to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    flat = vals[offs[0] : offs[-1]]
+                    bounds = offs - offs[0]
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            batch.column("term"),
+                            batch.column("doc_id"),
+                            batch.column("tf"),
+                            batch.column("dl"),
+                            _encode_positions_binary(bounds, flat),
+                        ],
+                        names=["term", "doc_id", "tf", "dl", "positions"],
+                    )
+
+            merged = merged.select(
+                "term", "doc_id", "tf", "dl", "positions"
+            ).mapInArrow(_enc, POSTINGS_SCHEMA)
         merged.write.mode("overwrite").parquet(postings_path)
 
         # docs table from the surviving (last-run) postings (doc_id, doclen)
