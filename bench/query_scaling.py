@@ -25,12 +25,20 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_job(cores: int, extra: list[str], shuffle_partitions: int | None = None) -> dict:
+def run_job(cores: int, extra: list[str], shuffle_partitions: int | None = None,
+            pin: bool = False) -> dict:
     tmp = "/dev/shm/gloomy_scaling"
     os.makedirs(tmp, exist_ok=True)
     env = dict(os.environ)
     env["TMPDIR"] = tmp
     cmd = [
+        *(
+            # optional hard CPU budget (see bench/scaling.py --pin:
+            # local[N] caps task slots, not CPUs)
+            ["taskset", "-c", ",".join(str(c) for c in range(cores))]
+            if pin
+            else []
+        ),
         "/opt/spark/bin/spark-submit",
         "--master", f"local[{cores}]",
         "--conf", "spark.driver.memory=32g",
@@ -58,6 +66,7 @@ def main() -> None:
                     help="docs per posting bucket (16384 → ~18 buckets at "
                          "300k docs, the multi-bucket regime of big corpora)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--pin", action="store_true")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -82,8 +91,8 @@ def main() -> None:
     sp = max(64, 2 * n_groups)
     smalls, bigs = [], []
     for i in range(args.repeats):
-        smalls.append(run_job(args.n, serve, shuffle_partitions=sp))
-        bigs.append(run_job(args.n * 4, serve, shuffle_partitions=sp))
+        smalls.append(run_job(args.n, serve, shuffle_partitions=sp, pin=args.pin))
+        bigs.append(run_job(args.n * 4, serve, shuffle_partitions=sp, pin=args.pin))
         sys.stderr.write(
             f"repeat {i}: N batch={smalls[-1]['batch_query_sec']}s "
             f"4N batch={bigs[-1]['batch_query_sec']}s\n"
@@ -92,6 +101,7 @@ def main() -> None:
     big = min(bigs, key=lambda r: r["batch_query_sec"])
     result = {
         "repeats": args.repeats,
+        "pinned_cpus": bool(args.pin),
         "docs": args.docs,
         "bucket_width": args.bucket_width,
         "n_cores": args.n,

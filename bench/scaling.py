@@ -18,7 +18,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_at(cores: int, docs: int, queries: int = 10, n_buckets: int = 1) -> dict:
+def run_at(cores: int, docs: int, queries: int = 10, n_buckets: int = 1,
+           pin: bool = False) -> dict:
     # tmpfs for shuffle + data: this sandbox has ONE virtio disk
     # (~255 MB/s) shared across all tasks — at 32 concurrent tasks the
     # disk, not the CPUs, becomes the bottleneck and corrupts the CPU
@@ -29,6 +30,19 @@ def run_at(cores: int, docs: int, queries: int = 10, n_buckets: int = 1) -> dict
     env = dict(os.environ)
     env["TMPDIR"] = tmp
     cmd = [
+        *(
+            # optional hard CPU pinning (--pin): local[N] caps task
+            # SLOTS, not CPUs — the JVM pipeline and python workers are
+            # separate processes and can overlap onto extra host CPUs.
+            # The slot-based regime matches how real clusters size
+            # executors (spark.executor.cores counts task slots; python
+            # workers ride alongside) and is the round-1/2 protocol;
+            # taskset instead models a hard per-executor CPU budget.
+            # BENCH/BASELINE.md reports both.
+            ["taskset", "-c", ",".join(str(c) for c in range(cores))]
+            if pin
+            else []
+        ),
         "/opt/spark/bin/spark-submit",
         "--master", f"local[{cores}]",
         "--conf", "spark.driver.memory=32g",
@@ -56,6 +70,9 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small cluster size N")
     ap.add_argument("--docs", type=int, default=60_000)
     ap.add_argument("--n-buckets", type=int, default=1)
+    ap.add_argument("--pin", action="store_true",
+                    help="hard-pin JVM+python to exactly N / 4N host CPUs "
+                         "(taskset) instead of the slot-based local[N] regime")
     ap.add_argument("--repeats", type=int, default=3,
                     help="interleaved repeats per config; best run wins "
                          "(de-noises external load on this shared sandbox)")
@@ -68,8 +85,8 @@ def main() -> None:
 
     smalls, bigs = [], []
     for i in range(args.repeats):
-        smalls.append(run_at(args.n, args.docs, n_buckets=args.n_buckets))
-        bigs.append(run_at(args.n * 4, args.docs, n_buckets=args.n_buckets))
+        smalls.append(run_at(args.n, args.docs, n_buckets=args.n_buckets, pin=args.pin))
+        bigs.append(run_at(args.n * 4, args.docs, n_buckets=args.n_buckets, pin=args.pin))
         sys.stderr.write(
             f"repeat {i}: N={smalls[-1]['build_sec']}s 4N={bigs[-1]['build_sec']}s\n"
         )
@@ -85,6 +102,7 @@ def main() -> None:
         b_eff = (small["batch_query_sec"] / big["batch_query_sec"]) / 4.0
     result = {
         "repeats": args.repeats,
+        "pinned_cpus": bool(args.pin),
         "all_build_sec_n": [r["build_sec"] for r in smalls],
         "all_build_sec_4n": [r["build_sec"] for r in bigs],
         "docs": args.docs,

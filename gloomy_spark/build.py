@@ -11,9 +11,10 @@ Dataflow (each stage is a resumable checkpoint, per SURVEY.md §3.1):
                           │                 map-side combine IS the salted
                           │                 two-phase agg for head terms
                           └──▶ segments/bucket=K/   per term-range bucket:
-                                broadcast dict join → repartitionByRange
-                                (term_id, doc_id) → sortWithinPartitions →
-                                vectorized block writer (delta+varint,
+                                broadcast dict join → EXPLICIT df-tiled
+                                hash shuffle (no sampling pass, no JVM
+                                sort operator) → vectorized block writer
+                                (numpy radix partition sort, delta+varint,
                                 per-block max_score for block-max WAND)
 
 Scale notes (designed for 10^12 docs / 1000 executors, tested on local[32]):
@@ -21,11 +22,13 @@ Scale notes (designed for 10^12 docs / 1000 executors, tested on local[32]):
 - per-term global work (df/cf) relies on partial aggregation, which bounds
   any partition's state by |vocab seen in partition|, not by posting count —
   the head term "the" never concentrates on one task;
-- segment writing range-partitions on (term_id, doc_id): a head term's
-  postings spread over MANY range partitions, each emitting doc-sorted
-  blocks for its own doc slice — globally docID-sorted runs without any
-  single-task merge (the k-way merge of ngramlistLarge.go becomes Spark's
-  shuffle-sort);
+- segment writing partitions EXPLICITLY from the dictionary (per-term df
+  is already known, so no RangePartitioner sampling job): terms tile into
+  ~equal posting chunks and a head term's postings split into doc-range
+  sub-chunks over MANY partitions, each emitting doc-sorted blocks for
+  its own doc slice — globally docID-sorted runs without any single-task
+  merge (the k-way merge of ngramlistLarge.go becomes a hash shuffle +
+  per-partition numpy radix sort in the writer);
 - term-range build buckets give crash-safe resume: each bucket commits its
   parquet dir then appends a ledger line; restart prunes completed buckets
   before any scan work.
@@ -264,13 +267,22 @@ POSTINGS_SCHEMA_NOPOS = "term string, doc_id long, tf int, dl int"
 
 
 def _segment_writer(cfg: EngineConfig, avgdl: float):
-    """mapInPandas writer: sorted (term_id, doc_id, tf, dl, idf, positions)
-    rows → posting blocks. Vectorized per block; the only Python-level loop
-    is over blocks (n/128), never over postings."""
+    """mapInArrow writer: one shuffle partition of (term_id, doc_id, tf,
+    dl, idf, positions) rows → posting blocks.
+
+    The partition is materialized and sorted HERE with a numpy radix
+    lexsort on (term_id, doc_id) — roughly an order of magnitude cheaper
+    than the JVM comparison sort a sortWithinPartitions plan node runs on
+    UnsafeRows — so the segment exchange is a plain hash shuffle with NO
+    sort operator. Memory is bounded by the dictionary tiling: each
+    explicit chunk targets bucket_postings/(shuffle_parts·4) postings
+    (size cfg.shuffle_partitions so a chunk fits executor memory — the
+    same working-set bound Spark's external sort needs to avoid
+    spilling). Vectorized per block; the only Python-level loop is over
+    blocks (n/block_size), never over postings."""
     k1, b = cfg.bm25.k1, cfg.bm25.b
     block = cfg.block_size
     bucket_width = cfg.doc_bucket_width
-
     store_positions = cfg.store_positions
 
     def write(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -278,128 +290,157 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+
+        # ---- materialize the partition ---------------------------------
+        tid_l, did_l, tf_l, dl_l, idf_l = [], [], [], [], []
+        plen_l, pdata_l = [], []
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+            if batch.num_rows == 0:
                 continue
-            term_id = np.asarray(batch.column("term_id").to_numpy(zero_copy_only=False), dtype=np.int64)
-            doc_id = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False), dtype=np.int64)
-            tf = np.asarray(batch.column("tf").to_numpy(zero_copy_only=False), dtype=np.int64)
-            dl = np.asarray(batch.column("dl").to_numpy(zero_copy_only=False), dtype=np.int64)
-            idf = np.asarray(batch.column("idf").to_numpy(zero_copy_only=False), dtype=np.float64)
-            doc_bucket = doc_id // bucket_width
-            score = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
-
-            # ---- block boundaries: new (term_id, doc_bucket) group, or a
-            # multiple of `block` postings within a group (all vectorized)
-            new_group = np.ones(n, dtype=bool)
-            new_group[1:] = (term_id[1:] != term_id[:-1]) | (
-                doc_bucket[1:] != doc_bucket[:-1]
-            )
-            g_start = np.nonzero(new_group)[0]
-            within = np.arange(n, dtype=np.int64) - np.repeat(
-                g_start, np.diff(np.concatenate((g_start, [n])))
-            )
-            is_block_start = new_group | (within % block == 0)
-            b_start = np.nonzero(is_block_start)[0]
-            b_end = np.concatenate((b_start[1:], [n]))
-
-            # ---- bulk varint encodings, sliced per block by byte offsets
-            deltas = doc_id.copy()
-            deltas[1:] -= doc_id[:-1]
-            deltas[b_start] = doc_id[b_start]  # first-of-block absolute
-            docs_all, docs_off = varint_encode_with_offsets(deltas)
-            tfs_all, tfs_off = varint_encode_with_offsets(tf)
-            dls_all, dls_off = varint_encode_with_offsets(dl)
-
-            def slices(buf: bytes, off: np.ndarray) -> "pa.Array":
-                mv = memoryview(buf)  # off has n+1 entries; off[n] == len(buf)
-                return pa.array(
-                    [mv[off[s] : off[e]] for s, e in zip(b_start, b_end)],
-                    type=pa.binary(),
+            for col, acc, dt in (
+                ("term_id", tid_l, np.int64),
+                ("doc_id", did_l, np.int64),
+                ("tf", tf_l, np.int64),
+                ("dl", dl_l, np.int64),
+                ("idf", idf_l, np.float64),
+            ):
+                acc.append(
+                    np.asarray(
+                        batch.column(col).to_numpy(zero_copy_only=False),
+                        dtype=dt,
+                    )
                 )
-
-            has_pos = store_positions and batch.schema.get_field_index("positions") >= 0
-            if has_pos and pa.types.is_binary(batch.schema.field("positions").type):
-                # positions arrive PRE-ENCODED per posting (delta+varint,
-                # independent spans): a block's buffer is a contiguous
-                # slice of the column's data buffer — zero re-encoding.
-                # pos_counts == per-posting position counts == tf (every
-                # occurrence carries exactly one position), so the counts
-                # buffer is derived from tf without touching position data.
+            if store_positions and batch.schema.get_field_index("positions") >= 0:
                 pos_col = batch.column("positions")
                 if isinstance(pos_col, pa.ChunkedArray):
                     pos_col = pos_col.combine_chunks()
+                if not pa.types.is_binary(pos_col.type):
+                    # legacy array<int> input → the per-posting binary
+                    # form (byte-identical; see _encode_positions_binary)
+                    lo = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                    lv = pos_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+                    pos_col = _encode_positions_binary(lo - lo[0], lv[lo[0] : lo[-1]])
                 offs = np.frombuffer(pos_col.buffers()[1], dtype=np.int32)[
                     pos_col.offset : pos_col.offset + len(pos_col) + 1
                 ].astype(np.int64)
-                data_buf = pos_col.buffers()[2]
-                data_mv = (
-                    memoryview(data_buf) if data_buf is not None else memoryview(b"")
+                dbuf = pos_col.buffers()[2]
+                data = (
+                    np.frombuffer(dbuf, dtype=np.uint8)[offs[0] : offs[-1]]
+                    if dbuf is not None
+                    else np.zeros(0, np.uint8)
                 )
-                cnt_all, cnt_off = varint_encode_with_offsets(tf)
-                pos_counts_arr = slices(cnt_all, cnt_off)
-                positions_arr = pa.array(
-                    [
-                        data_mv[offs[s] : offs[e]]
-                        for s, e in zip(b_start, b_end)
-                    ],
-                    type=pa.binary(),
-                )
-            elif has_pos:
-                pos_col = batch.column("positions")
-                if isinstance(pos_col, pa.ChunkedArray):
-                    pos_col = pos_col.combine_chunks()
-                pos_offsets = np.asarray(pos_col.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
-                pos_values = np.asarray(pos_col.values.to_numpy(zero_copy_only=False), dtype=np.int64)
-                base0 = pos_offsets[0]
-                lens = pos_offsets[1:] - pos_offsets[:-1]
-                pdeltas = pos_values.copy()
-                pdeltas[1:] -= pos_values[:-1]
-                firsts = (pos_offsets[:-1] - base0)[lens > 0]
-                pdeltas[firsts] = pos_values[firsts]
-                cnt_all, cnt_off = varint_encode_with_offsets(lens)
-                posv_all, posv_off = varint_encode_with_offsets(pdeltas)
-                val_starts = (pos_offsets - base0)
-                mvp = memoryview(posv_all)
-                pos_counts_arr = slices(cnt_all, cnt_off)
-                positions_arr = pa.array(
-                    [
-                        mvp[posv_off[val_starts[s]] : posv_off[val_starts[e]]]
-                        for s, e in zip(b_start, b_end)
-                    ],
-                    type=pa.binary(),
-                )
-            else:
-                empty = pa.array([b""] * len(b_start), type=pa.binary())
-                pos_counts_arr, positions_arr = empty, empty
+                plen_l.append(np.diff(offs))
+                pdata_l.append(np.ascontiguousarray(data))
+        if not tid_l:
+            return
+        term_id = np.concatenate(tid_l)
+        doc_id = np.concatenate(did_l)
+        tf = np.concatenate(tf_l)
+        dl = np.concatenate(dl_l)
+        idf = np.concatenate(idf_l)
+        n = len(term_id)
 
-            # ---- per-block stats via reduceat (no Python per-block math)
-            max_score = np.maximum.reduceat(score, b_start)
-            sum_tf = np.add.reduceat(tf, b_start)
-            out = pa.RecordBatch.from_arrays(
+        # ---- the partition sort (replaces Spark sortWithinPartitions) --
+        order = np.lexsort((doc_id, term_id))
+        term_id, doc_id, tf, dl, idf = (
+            term_id[order], doc_id[order], tf[order], dl[order], idf[order],
+        )
+        has_pos = bool(plen_l)
+        if has_pos:
+            plen = np.concatenate(plen_l)
+            pdata = (
+                np.concatenate(pdata_l) if pdata_l else np.zeros(0, np.uint8)
+            )
+            pstart = np.concatenate(([0], np.cumsum(plen)))[:-1]
+            sel = plen[order]
+            tot = int(sel.sum())
+            # varlen gather: move each posting's byte span to sorted order
+            head = np.concatenate(([0], np.cumsum(sel)))[:-1]
+            intra = np.arange(tot, dtype=np.int64) - np.repeat(head, sel)
+            pdata = pdata[np.repeat(pstart[order], sel) + intra]
+            offs = np.concatenate(([0], np.cumsum(sel))).astype(np.int64)
+
+        doc_bucket = doc_id // bucket_width
+        score = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+
+        # ---- block boundaries: new (term_id, doc_bucket) group, or a
+        # multiple of `block` postings within a group (all vectorized)
+        new_group = np.ones(n, dtype=bool)
+        new_group[1:] = (term_id[1:] != term_id[:-1]) | (
+            doc_bucket[1:] != doc_bucket[:-1]
+        )
+        g_start = np.nonzero(new_group)[0]
+        within = np.arange(n, dtype=np.int64) - np.repeat(
+            g_start, np.diff(np.concatenate((g_start, [n])))
+        )
+        is_block_start = new_group | (within % block == 0)
+        b_start = np.nonzero(is_block_start)[0]
+        b_end = np.concatenate((b_start[1:], [n]))
+
+        # ---- bulk varint encodings, sliced per block by byte offsets
+        deltas = doc_id.copy()
+        deltas[1:] -= doc_id[:-1]
+        deltas[b_start] = doc_id[b_start]  # first-of-block absolute
+        docs_all, docs_off = varint_encode_with_offsets(deltas)
+        tfs_all, tfs_off = varint_encode_with_offsets(tf)
+        dls_all, dls_off = varint_encode_with_offsets(dl)
+
+        # blocks tile [0, n): per-block byte spans are contiguous, so
+        # binary columns come ZERO-COPY from (block offsets, data buffer)
+        blk_bounds = np.append(b_start, n)
+
+        def slices(buf: bytes, off: np.ndarray) -> "pa.Array":
+            bo = off[blk_bounds].astype(np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(),
+                len(b_start),
+                [None, pa.py_buffer(bo.tobytes()), pa.py_buffer(buf)],
+            )
+
+        if has_pos:
+            # pos_counts == per-posting position counts == tf (every
+            # occurrence carries exactly one position); block position
+            # payloads are contiguous slices of the sorted data buffer
+            cnt_all, cnt_off = varint_encode_with_offsets(tf)
+            pos_counts_arr = slices(cnt_all, cnt_off)
+            positions_arr = pa.Array.from_buffers(
+                pa.binary(),
+                len(b_start),
                 [
-                    pa.array(term_id[b_start], type=pa.int64()),
-                    pa.array(doc_bucket[b_start], type=pa.int64()),
-                    pa.array(doc_id[b_start], type=pa.int64()),
-                    pa.array(doc_id[b_end - 1], type=pa.int64()),
-                    pa.array((b_end - b_start).astype(np.int32), type=pa.int32()),
-                    pa.array(max_score, type=pa.float64()),
-                    pa.array(sum_tf, type=pa.int64()),
-                    slices(docs_all, docs_off),
-                    slices(tfs_all, tfs_off),
-                    slices(dls_all, dls_off),
-                    pos_counts_arr,
-                    positions_arr,
-                    pa.array(np.full(len(b_start), pid, dtype=np.int32), type=pa.int32()),
-                ],
-                names=[
-                    "term_id", "doc_bucket", "first_doc", "last_doc", "n_docs",
-                    "max_score", "sum_tf", "docs", "tfs", "dls", "pos_counts",
-                    "positions", "part_id",
+                    None,
+                    pa.py_buffer(offs[blk_bounds].astype(np.int32).tobytes()),
+                    pa.py_buffer(pdata),
                 ],
             )
-            yield out
+        else:
+            empty = pa.array([b""] * len(b_start), type=pa.binary())
+            pos_counts_arr, positions_arr = empty, empty
+
+        # ---- per-block stats via reduceat (no Python per-block math)
+        max_score = np.maximum.reduceat(score, b_start)
+        sum_tf = np.add.reduceat(tf, b_start)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(term_id[b_start], type=pa.int64()),
+                pa.array(doc_bucket[b_start], type=pa.int64()),
+                pa.array(doc_id[b_start], type=pa.int64()),
+                pa.array(doc_id[b_end - 1], type=pa.int64()),
+                pa.array((b_end - b_start).astype(np.int32), type=pa.int32()),
+                pa.array(max_score, type=pa.float64()),
+                pa.array(sum_tf, type=pa.int64()),
+                slices(docs_all, docs_off),
+                slices(tfs_all, tfs_off),
+                slices(dls_all, dls_off),
+                pos_counts_arr,
+                positions_arr,
+                pa.array(np.full(len(b_start), pid, dtype=np.int32), type=pa.int32()),
+            ],
+            names=[
+                "term_id", "doc_bucket", "first_doc", "last_doc", "n_docs",
+                "max_score", "sum_tf", "docs", "tfs", "dls", "pos_counts",
+                "positions", "part_id",
+            ],
+        )
 
     return write
 
@@ -456,6 +497,14 @@ class IndexBuilder:
         self.spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", "1000000"
         )
+        # small input splits: the corpus and postings_raw scans feed the
+        # two python-heavy stages, and the default 128 MB split size gives
+        # a 300 MB input only ~5 tasks — 1.5 scheduling waves with a long
+        # straggler tail on a multi-core executor. 32 MB splits keep every
+        # core fed with many tasks (still ≫ task overhead); at 100 TB the
+        # same setting yields ~3M splits, the normal regime for a
+        # 1000-executor cluster.
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
         store = IndexStore(index_dir)
         store.ensure_dirs()
         store.save_config(cfg)
@@ -659,7 +708,13 @@ class IndexBuilder:
                 ).astype(np.int32)
                 n_pids = int((cum[-1] - 1) // target + 1) if cum[-1] else 1
                 dim = self.spark.createDataFrame(
-                    bt_pdf[["term", "term_id", "idf", "pid_base", "n_splits"]]
+                    bt_pdf[["term", "term_id", "pid_base", "n_splits"]]
+                )
+                # idf is a per-TERM value: re-attach it AFTER the shuffle
+                # with a second broadcast join so the exchange moves 8
+                # fewer bytes per posting row
+                idf_dim = self.spark.createDataFrame(
+                    bt_pdf[["term_id", "idf"]]
                 )
                 joined = postings.join(F.broadcast(dim), "term")
                 pid = F.col("pid_base") + F.when(
@@ -673,8 +728,9 @@ class IndexBuilder:
                 ).otherwise(F.lit(0))
                 segs = (
                     joined.withColumn("_pid", pid.cast("int"))
+                    .select("term_id", "doc_id", "tf", "dl", *pos_cols, "_pid")
                     .repartition(n_pids, F.col("_pid"))
-                    .sortWithinPartitions("term_id", "doc_id")
+                    .join(F.broadcast(idf_dim), "term_id")
                     .select("term_id", "doc_id", "tf", "dl", "idf", *pos_cols)
                     .mapInArrow(writer, SEGMENT_SCHEMA)
                 )
@@ -689,7 +745,6 @@ class IndexBuilder:
                 )
                 segs = (
                     joined.repartitionByRange(shuffle_parts, "term_id", "doc_id")
-                    .sortWithinPartitions("term_id", "doc_id")
                     .mapInArrow(writer, SEGMENT_SCHEMA)
                 )
             segs.write.mode("overwrite").parquet(store.bucket_dir(k))
