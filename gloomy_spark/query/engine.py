@@ -197,6 +197,7 @@ class SearchIndex:
         ship_package(spark)
         self._term_map: dict[str, tuple[int, float]] | None = None
         self._term_df: dict[str, int] = {}
+        self._n_doc_buckets: int | None = None
         # decoded-postings LRU for the driver-local serving fast path (the
         # analog of the reference preloading col0 into RAM, index.go:502-504).
         # Served from ThreadingHTTPServer threads, so all lookup/insert/
@@ -227,6 +228,15 @@ class SearchIndex:
     def cache(self) -> "SearchIndex":
         self.terms.cache().count()
         self.segments.cache().count()
+        # doc-bucket count feeds the batch scorer's parallelism policy
+        # (query-group salting when buckets < shuffle partitions); one
+        # tiny agg over block METADATA rows, amortized across the cached
+        # index's lifetime
+        self._n_doc_buckets = int(
+            self.segments.select(
+                F.countDistinct("doc_bucket").alias("nb")
+            ).collect()[0]["nb"]
+        )
         if self.manifest.n_terms <= self._TERM_MAP_LIMIT:
             rows = self.terms.collect()
             self._term_map = {r["term"]: (r["term_id"], r["idf"]) for r in rows}
@@ -747,8 +757,42 @@ class SearchIndex:
         idf_by_tid = {int(tid): float(idf) for tid, idf in lookup.values()}
         ids = sorted(idf_by_tid)
 
+        # scoring-parallelism policy: at web scale an index has ~10^6 doc
+        # buckets and hash partitioning balances naturally, but a small
+        # index (or a coarse bucket_width) can have FEWER buckets than
+        # shuffle partitions — then per-bucket tasks are the parallelism
+        # ceiling. Salt the scoring key with a query group: each bucket's
+        # queries split into Q groups scored by separate tasks (blocks
+        # shared by groups are duplicated in the shuffle — the honest
+        # price of parallelism finer than the bucket grain).
+        sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        nb = self._n_doc_buckets
+        n_queries = len(q_terms)
+        # A/B on the 19-bucket bench regime: Q=3 salting tripled the
+        # shared-block decode (+45% single-core time) while the 4-core
+        # wall stayed flat — duplicated decode exactly offsets the finer
+        # tasks. Salt ONLY when buckets can't even fill the executor
+        # slots once (the truly-starved case: a handful of buckets on a
+        # wide cluster), never merely because buckets < partitions.
+        cores = self.spark.sparkContext.defaultParallelism
+        Q = max(1, min(8, cores // nb, n_queries)) if nb else 1
+
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            if Q > 1:
+                grp = int(pdf["qgrp"].iloc[0])
+                my_q_terms = {
+                    qi: ts for qi, ts in q_terms.items() if qi % Q == grp
+                }
+            else:
+                my_q_terms = q_terms
             tids = pdf["term_id"].to_numpy(np.int64)
+            # column arrays ONCE: pdf.iloc per block costs ~50µs of pandas
+            # machinery each — at 10⁴-10⁵ blocks per task that dwarfs the
+            # actual varint decode work
+            docs_a = pdf["docs"].to_numpy()
+            tfs_a = pdf["tfs"].to_numpy()
+            dls_a = pdf["dls"].to_numpy()
+            nd_a = pdf["n_docs"].to_numpy()
             by_term: dict[int, list[int]] = {}
             for i, t in enumerate(tids.tolist()):
                 by_term.setdefault(t, []).append(i)
@@ -759,9 +803,8 @@ class SearchIndex:
                     ds, ss = [], []
                     idf = idf_by_tid[tid]
                     for i in by_term.get(tid, ()):  # absent term → empty
-                        row = pdf.iloc[i]
                         d, tf, dl = decode_posting_block(
-                            row["docs"], row["tfs"], row["dls"], int(row["n_docs"])
+                            docs_a[i], tfs_a[i], dls_a[i], int(nd_a[i])
                         )
                         s = idf * (tf * (k1 + 1.0)) / (
                             tf + k1 * (1.0 - b + b * (dl / avgdl))
@@ -791,7 +834,7 @@ class SearchIndex:
             # queries normalizing to the SAME indexed term-set share one
             # scoring pass (frequent in serving workloads)
             tset_groups: dict[tuple, list[int]] = {}
-            for qi, terms in q_terms.items():
+            for qi, terms in my_q_terms.items():
                 tset_groups.setdefault(tuple(sorted(set(terms))), []).append(qi)
 
             frames = []
@@ -833,8 +876,25 @@ class SearchIndex:
             "doc_bucket", "term_id", "first_doc", "last_doc", "n_docs",
             "docs", "tfs", "dls",
         )
-        per = cand.groupBy("doc_bucket").applyInPandas(
-            score_bucket, "query_id int, " + TOPK_SCHEMA
+        if Q > 1:
+            pairs = sorted(
+                {(tid, qi % Q) for qi, ts in q_terms.items() for tid in ts}
+            )
+            qdim = self.spark.createDataFrame(pairs, "term_id long, qgrp int")
+            cand = cand.join(F.broadcast(qdim), "term_id")
+        else:
+            cand = cand.withColumn("qgrp", F.lit(0))
+        # EXPLICIT repartition before the grouped scorer: AQE coalesces
+        # shuffle partitions by BYTE size, but this stage's cost is
+        # python scoring work ∝ buckets × queries, not bytes — byte-based
+        # coalescing packs the scoring groups into a handful of tasks and
+        # manufactures a straggler. A user repartition with an explicit
+        # partition count is exempt from AQE coalescing, and the groupBy
+        # reuses its hash partitioning (no extra exchange in the plan).
+        per = (
+            cand.repartition(sp, "doc_bucket", "qgrp")
+            .groupBy("doc_bucket", "qgrp")
+            .applyInPandas(score_bucket, "query_id int, " + TOPK_SCHEMA)
         )
         from pyspark.sql import Window
 
