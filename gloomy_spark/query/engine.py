@@ -31,7 +31,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..codecs import decode_position_lists, decode_posting_block
+from ..codecs import (
+    decode_position_lists,
+    decode_posting_block,
+    decode_posting_blocks_bulk,
+)
 from ..config import EngineConfig
 from ..index_store import IndexStore, Manifest
 from ..textnorm import tokenize
@@ -65,15 +69,21 @@ def _bucket_scorer(p: _Bm25Params):
         first = pdf["first_doc"].to_numpy(np.int64)
         last = pdf["last_doc"].to_numpy(np.int64)
         bmax = pdf["max_score"].to_numpy(np.float64)
+        # column arrays once — pdf.iloc per block costs ~50µs of pandas
+        # machinery, which dominates the varint decode at many blocks
+        docs_a = pdf["docs"].to_numpy()
+        tfs_a = pdf["tfs"].to_numpy()
+        dls_a = pdf["dls"].to_numpy()
+        nd_a = pdf["n_docs"].to_numpy()
+        idf_a = pdf["idf"].to_numpy(np.float64)
 
         def decode_block(i: int) -> tuple[np.ndarray, np.ndarray]:
-            row = pdf.iloc[i]
             d, tf, dl = decode_posting_block(
-                row["docs"], row["tfs"], row["dls"], int(row["n_docs"])
+                docs_a[i], tfs_a[i], dls_a[i], int(nd_a[i])
             )
             s = _score_arrays(
                 tf.astype(np.float64), dl.astype(np.float64),
-                np.float64(row["idf"]), p,
+                np.float64(idf_a[i]), p,
             )
             return d, s
 
@@ -661,17 +671,12 @@ class SearchIndex:
             )
             fetched: dict[int, tuple[np.ndarray, np.ndarray]] = {}
             for tid, g in pdf.groupby("term_id"):
-                ds, tfs, dls = [], [], []
-                for row in g.to_dict("records"):
-                    d, tf, dl = decode_posting_block(
-                        row["docs"], row["tfs"], row["dls"], int(row["n_docs"])
-                    )
-                    ds.append(d)
-                    tfs.append(tf)
-                    dls.append(dl)
-                d = np.concatenate(ds)
-                tf = np.concatenate(tfs).astype(np.float64)
-                dl = np.concatenate(dls).astype(np.float64)
+                d, tf, dl = decode_posting_blocks_bulk(
+                    g["docs"].tolist(), g["tfs"].tolist(),
+                    g["dls"].tolist(), g["n_docs"].tolist(),
+                )
+                tf = tf.astype(np.float64)
+                dl = dl.astype(np.float64)
                 # cache tf-part of the score (idf applied at query time)
                 part = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
                 fetched[int(tid)] = (d, part)
@@ -800,22 +805,27 @@ class SearchIndex:
 
             def term_postings(tid: int):
                 if tid not in scored:
-                    ds, ss = [], []
-                    idf = idf_by_tid[tid]
-                    for i in by_term.get(tid, ()):  # absent term → empty
-                        d, tf, dl = decode_posting_block(
-                            docs_a[i], tfs_a[i], dls_a[i], int(nd_a[i])
+                    rows = by_term.get(tid, ())  # absent term → empty
+                    if not rows:
+                        scored[tid] = (
+                            np.array([], np.int64),
+                            np.array([], np.float64),
                         )
+                    else:
+                        # ONE bulk decode for all of the term's blocks
+                        # (segmented-cumsum delta reconstruction) —
+                        # per-block decode is numpy-call-dispatch bound
+                        d, tf, dl = decode_posting_blocks_bulk(
+                            [docs_a[i] for i in rows],
+                            [tfs_a[i] for i in rows],
+                            [dls_a[i] for i in rows],
+                            [int(nd_a[i]) for i in rows],
+                        )
+                        idf = idf_by_tid[tid]
                         s = idf * (tf * (k1 + 1.0)) / (
                             tf + k1 * (1.0 - b + b * (dl / avgdl))
                         )
-                        ds.append(d)
-                        ss.append(s)
-                    scored[tid] = (
-                        (np.concatenate(ds), np.concatenate(ss))
-                        if ds
-                        else (np.array([], np.int64), np.array([], np.float64))
-                    )
+                        scored[tid] = (d, s)
                 return scored[tid]
 
             # doc_bucket = doc_id // width bounds this bucket's doc span,
