@@ -73,8 +73,43 @@ SEGMENT_SCHEMA = (
 
 
 def extracted_docs(pages: DataFrame) -> DataFrame:
-    """pages(url, warc_ts, html, ...) → (doc_id, url, text, lang) using the
-    pinned extraction function (byte-identical per-row invariant)."""
+    """pages(url, warc_ts, html, ...) → (doc_id, url, text, lang) with the
+    PINNED extraction (drop <nav>/<script>, title + every <p>, newline-
+    joined) computed entirely JVM-side as Spark regexp expressions —
+    property-tested byte-identical to ``corpus.extract_text``. Keeping
+    extraction inside whole-stage codegen removes two full-corpus
+    crossings of the JVM↔python Arrow boundary per build (extraction was
+    the only python hop before the tokenize→invert pipeline).
+    ``extracted_docs_udf`` preserves the python path for differential
+    testing."""
+    cleaned = pages.select(
+        "doc_id",
+        "url",
+        "lang",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.decode(F.col("html"), "UTF-8"), r"(?s)<nav>.*?</nav>", ""
+            ),
+            r"(?s)<script>.*?</script>",
+            "",
+        ).alias("_s"),
+    )
+    title_arr = F.when(
+        F.col("_s").rlike(r"(?s)<title>.*?</title>"),
+        F.array(F.regexp_extract(F.col("_s"), r"(?s)<title>(.*?)</title>", 1)),
+    ).otherwise(F.array().cast("array<string>"))
+    body_arr = F.regexp_extract_all(F.col("_s"), F.lit(r"(?s)<p>(.*?)</p>"), 1)
+    return cleaned.select(
+        "doc_id",
+        "url",
+        F.concat_ws("\n", F.concat(title_arr, body_arr)).alias("text"),
+        "lang",
+    )
+
+
+def extracted_docs_udf(pages: DataFrame) -> DataFrame:
+    """Python-UDF form of `extracted_docs` (the pinned reference
+    implementation applied per row) — kept for differential tests."""
     from .session import ship_package
 
     ship_package(pages.sparkSession)

@@ -504,3 +504,49 @@ def test_bm25_batch_sparse_doc_span_fallback(spark, tmp_path):
         ]
         got = sorted(by_q.get(qi, []), key=lambda t: (-t[1], t[0]))
         assert got == single, q
+
+
+@pytest.mark.spark
+def test_expression_extraction_byte_identical(spark):
+    # JVM-expression extraction must equal BOTH the pinned python
+    # extract_text and the corpus ground-truth text column, byte for byte
+    from gloomy_spark.build import extracted_docs, extracted_docs_udf
+    from gloomy_spark.corpus import extract_text, pages_df
+
+    pages = pages_df(spark, 300, partitions=4)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in extracted_docs(pages).select("doc_id", "text").collect()
+    }
+    for row in pages.collect():
+        want = extract_text(bytes(row["html"]))
+        assert got[row["doc_id"]] == want == row["text"], row["url"]
+
+    # adversarial shapes: missing title, EMPTY title, no <p>, nested-ish
+    # tags, nav/script wrapping p, multiline bodies, unicode
+    cases = [
+        "<html><title>t</title><p>a</p><p>b</p></html>",
+        "<html><p>only body</p></html>",
+        "<html><title></title><p>x</p></html>",
+        "<html><title>t</title></html>",
+        "<html><nav><p>menu</p></nav><title>t</title><p>k</p></html>",
+        "<html><script>var x='<p>no</p>';</script><p>y</p></html>",
+        "<html><title>multi\nline</title><p>a\nb</p></html>",
+        "<html><title>žluťoučký</title><p>kůň úpěl</p></html>",
+        "<html></html>",
+        "<p>bare</p>",
+    ]
+    pdf = spark.createDataFrame(
+        [(i, f"u{i}", c.encode(), "en") for i, c in enumerate(cases)],
+        "doc_id long, url string, html binary, lang string",
+    )
+    from gloomy_spark.build import extracted_docs as ex_expr
+
+    got2 = {r["doc_id"]: r["text"] for r in ex_expr(pdf).collect()}
+    got_udf = {
+        r["doc_id"]: r["text"] for r in extracted_docs_udf(pdf).collect()
+    }
+    for i, c in enumerate(cases):
+        want = extract_text(c.encode())
+        assert got2[i] == want, c
+        assert got_udf[i] == want, c
