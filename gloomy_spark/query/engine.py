@@ -510,14 +510,15 @@ class SearchIndex:
             if len(groups) < n_terms_distinct:
                 return empty  # a phrase term has no postings in this bucket
 
-            # (a) doc-set intersection, rarest term first — positions unread
+            # (a) doc-set intersection, rarest term first — positions
+            # unread; ONE bulk varint pass per term (see
+            # decode_posting_blocks_bulk), not one per 128-posting block
             doc_sets: dict[int, np.ndarray] = {}
             for tid, g in groups.items():
-                parts = [
-                    decode_posting_block(r["docs"], r["tfs"], r["dls"], int(r["n_docs"]))[0]
-                    for r in g.to_dict("records")
-                ]
-                doc_sets[tid] = np.concatenate(parts) if parts else np.array([], np.int64)
+                doc_sets[tid] = decode_posting_blocks_bulk(
+                    g["docs"].tolist(), g["tfs"].tolist(),
+                    g["dls"].tolist(), g["n_docs"].tolist(),
+                )[0]
             by_rarity = sorted(doc_sets, key=lambda t: len(doc_sets[t]))
             cand = doc_sets[by_rarity[0]]
             for tid in by_rarity[1:]:
