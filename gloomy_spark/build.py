@@ -300,6 +300,13 @@ def _partition_inverter(cfg: EngineConfig):
 POSTINGS_SCHEMA = "term string, doc_id long, tf int, dl int, positions binary"
 POSTINGS_SCHEMA_NOPOS = "term string, doc_id long, tf int, dl int"
 
+# Segment-writer in-memory sort bounds (see _segment_writer): one shuffle
+# partition must fit worker RAM and its binary payloads must fit Arrow
+# int32 offsets. Module-level so tests can shrink them to exercise the
+# loud-failure path without 10^8-row fixtures.
+_SEGMENT_PARTITION_MAX_ROWS = 1 << 27            # ~134M postings/partition
+_SEGMENT_PARTITION_MAX_POS_BYTES = (1 << 31) - (1 << 20)  # int32 ceiling
+
 
 def _segment_writer(cfg: EngineConfig, avgdl: float):
     """mapInArrow writer: one shuffle partition of (term_id, doc_id, tf,
@@ -327,11 +334,37 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
 
         # ---- materialize the partition ---------------------------------
+        # The numpy sort below replaces Spark's spillable external sort, so
+        # one shuffle partition MUST fit in python-worker RAM and every
+        # output binary column's byte offsets MUST fit int32 (Arrow
+        # `binary`). Both are bounded here LOUDLY: silent int32 wraparound
+        # would corrupt the index; an unbounded materialize would die as an
+        # opaque OOM. Worst-case varint is 10 B/posting, so the row bound
+        # keeps every derived buffer < 2^31; the payload bound caps the
+        # position bytes directly.
+        MAX_ROWS = _SEGMENT_PARTITION_MAX_ROWS
+        MAX_POS_BYTES = _SEGMENT_PARTITION_MAX_POS_BYTES
+
+        def _partition_overflow(kind: str, have: int, bound: int) -> ValueError:
+            return ValueError(
+                f"segment writer partition {pid} exceeds the in-memory "
+                f"sort bound: {kind}={have} > {bound}. Raise "
+                "cfg.shuffle_partitions (or narrow the dictionary tiling "
+                "width) so each shuffle partition carries fewer postings — "
+                "failing loudly here instead of writing a corrupt index "
+                "or OOMing opaquely."
+            )
+
+        n_rows_acc = 0
+        pos_bytes_acc = 0
         tid_l, did_l, tf_l, dl_l, idf_l = [], [], [], [], []
         plen_l, pdata_l = [], []
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            n_rows_acc += batch.num_rows
+            if n_rows_acc > MAX_ROWS:
+                raise _partition_overflow("rows", n_rows_acc, MAX_ROWS)
             for col, acc, dt in (
                 ("term_id", tid_l, np.int64),
                 ("doc_id", did_l, np.int64),
@@ -366,6 +399,11 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
                 )
                 plen_l.append(np.diff(offs))
                 pdata_l.append(np.ascontiguousarray(data))
+                pos_bytes_acc += int(data.nbytes)
+                if pos_bytes_acc > MAX_POS_BYTES:
+                    raise _partition_overflow(
+                        "position_bytes", pos_bytes_acc, MAX_POS_BYTES
+                    )
         if not tid_l:
             return
         term_id = np.concatenate(tid_l)
@@ -510,6 +548,7 @@ class IndexBuilder:
         ngram_size: int = 1,
         min_term_freq: int = 1,
         term_filter=None,
+        verify_unique_doc_ids: bool = False,
         fail_after_bucket: int | None = None,  # test hook for resume tests
     ) -> Manifest:
         """Build a block-compressed index.
@@ -610,12 +649,27 @@ class IndexBuilder:
             )
         stages["docs"] = round(time.time() - t0 - sum(stages.values()), 2)
         docs_stats = self.spark.read.parquet(store.docs_path)
-        agg = docs_stats.agg(
+        stat_aggs = [
             F.count("*").alias("n"),
             F.avg("doclen").alias("avgdl"),
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
-        ).collect()[0]
+        ]
+        if verify_unique_doc_ids:
+            # exact hash-collision check (see sources/pages.py collision
+            # budget): count(*) already in the agg, so one extra distinct
+            # pass over the 8-byte id column makes a ~10⁻⁴-probability
+            # silent url merge a LOUD build failure instead
+            stat_aggs.append(F.countDistinct("doc_id").alias("n_distinct"))
+        agg = docs_stats.agg(*stat_aggs).collect()[0]
+        if verify_unique_doc_ids and int(agg["n_distinct"]) != int(agg["n"]):
+            raise ValueError(
+                f"doc_id collision: {int(agg['n'])} docs but only "
+                f"{int(agg['n_distinct'])} distinct doc_ids — two input "
+                "documents hash to the same 64-bit id (see "
+                "sources/pages.py collision budget). Deduplicate inputs "
+                "or derive ids from a wider hash."
+            )
         n_docs, avgdl = int(agg["n"]), float(agg["avgdl"])
         min_doc = int(agg["min_doc"]) if agg["min_doc"] is not None else 0
         max_doc = int(agg["max_doc"]) if agg["max_doc"] is not None else 0

@@ -901,11 +901,37 @@ def q_ann_ivf_full_probe(query_vec_id: int, k: int):
     return fn, sql
 
 
+def _emb_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings table: (relpath, size,
+    mtime_ns) of every data file, hashed. Regenerating the fixture at the
+    same path changes the fingerprint, so a cached LSH store can never
+    silently serve results for stale vectors."""
+    import hashlib
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    parts = []
+    targets = [root] if os.path.isfile(root) else [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(root)
+        for f in fs
+        if not f.startswith(("_", "."))
+    ]
+    for p in sorted(targets):
+        st = os.stat(p)
+        parts.append(f"{os.path.relpath(p, sf_dir)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _stage_lsh_store(spark: SparkSession, sf_dir: str, n_planes: int = 12) -> str:
     """Build (or reuse from /tmp, across processes) the materialized LSH
-    store over this sf_dir's embeddings table."""
+    store over this sf_dir's embeddings table. The cache key includes a
+    content fingerprint of the embeddings files, so regenerated fixtures
+    rebuild instead of reusing a stale store."""
     slug = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"gloomy_lsh_{n_planes}_{slug}")
+    fp = _emb_fingerprint(sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), f"gloomy_lsh_{n_planes}_{slug}_{fp}"
+    )
     if not os.path.exists(os.path.join(out, "lsh_meta.json")):
         simsearch.lsh_build(_emb(spark, sf_dir), out, n_planes=n_planes)
     return out

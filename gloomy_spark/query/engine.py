@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import heapq
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -213,7 +214,9 @@ class SearchIndex:
         # Served from ThreadingHTTPServer threads, so all lookup/insert/
         # eviction happens under _posting_cache_lock; the postings counter
         # is recomputed from the dict (never incrementally drifted).
-        self._posting_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._posting_cache: "OrderedDict[int, tuple[np.ndarray, np.ndarray]]" = (
+            OrderedDict()
+        )
         self._posting_cache_lock = threading.Lock()
         # per-doc attrs LRU for the /bm25?attrs= serving fast path
         self._doc_attr_cache: dict[int, dict] = {}
@@ -330,19 +333,29 @@ class SearchIndex:
             c for c in (attrs or ["url", "lang", "doclen"])
             if c in self.docs.columns
         ]
+        # The local `got` dict is the source of truth for THIS call: cache
+        # hits are captured at check time and merged with the freshly
+        # fetched rows, so concurrent eviction (cache at its cap, or more
+        # ids than _DOC_ATTR_CACHE_MAX in one call) can never turn an
+        # existing doc into {} attrs. The cache is an optimization only —
+        # same contract as bm25_serve's posting cache.
+        got: dict[int, dict] = {}
         with self._doc_attr_cache_lock:
-            missing = [d for d in ids if d not in self._doc_attr_cache]
+            for d in ids:
+                if d in self._doc_attr_cache:
+                    got[d] = self._doc_attr_cache[d]
+        missing = [d for d in ids if d not in got]
         if missing:
             rows = self.docs.where(F.col("doc_id").isin(missing)).collect()
             fetched = {int(r["doc_id"]): r.asDict() for r in rows}
+            for d in missing:
+                # absent docs resolve as {} so callers see a stable shape
+                got[d] = fetched.get(d, {})
             with self._doc_attr_cache_lock:
                 for d in missing:
-                    # absent docs cache as {} so repeat misses stay free
-                    self._doc_attr_cache.setdefault(d, fetched.get(d, {}))
+                    self._doc_attr_cache.setdefault(d, got[d])
                 while len(self._doc_attr_cache) > self._DOC_ATTR_CACHE_MAX:
                     del self._doc_attr_cache[next(iter(self._doc_attr_cache))]
-        with self._doc_attr_cache_lock:
-            got = {d: self._doc_attr_cache.get(d, {}) for d in ids}
         return {d: {c: row.get(c) for c in cols} for d, row in got.items()}
 
     def export_ngrams_tsv(self, path: str, min_freq: int = 1) -> None:
@@ -655,11 +668,13 @@ class SearchIndex:
         # even if another thread evicts the dict slot a microsecond later
         tids = [int(self._term_map[t][0]) for t in toks]
         with self._posting_cache_lock:
-            entries = {
-                tid: self._posting_cache[tid]
-                for tid in tids
-                if tid in self._posting_cache
-            }
+            entries = {}
+            for tid in tids:
+                if tid in self._posting_cache:
+                    entries[tid] = self._posting_cache[tid]
+                    # true LRU: a hit refreshes recency, so a hot head term
+                    # fetched early can't be evicted ahead of cold tail terms
+                    self._posting_cache.move_to_end(tid)
         missing = [tid for tid in tids if tid not in entries]
         if missing:
             # fetch OUTSIDE the lock (a Spark scan must not serialize other
@@ -688,10 +703,14 @@ class SearchIndex:
             entries.update(fetched)
             with self._posting_cache_lock:
                 for tid, ent in fetched.items():
-                    self._posting_cache.setdefault(tid, ent)
-                # LRU-ish eviction: drop oldest-inserted entries. Recompute
-                # the size from the dict — an incrementally-drifted counter
-                # under concurrency over-evicts forever.
+                    if tid in self._posting_cache:
+                        self._posting_cache.move_to_end(tid)
+                    else:
+                        self._posting_cache[tid] = ent
+                # LRU eviction: drop least-recently-USED entries (hits
+                # move_to_end above). Recompute the size from the dict — an
+                # incrementally-drifted counter under concurrency
+                # over-evicts forever.
                 total = sum(len(v[0]) for v in self._posting_cache.values())
                 while total > self._POSTING_CACHE_MAX and len(self._posting_cache) > 1:
                     old_tid = next(iter(self._posting_cache))

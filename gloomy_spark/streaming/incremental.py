@@ -53,25 +53,30 @@ class IncrementalIndexer:
 
     # ---------------------------------------------------------- ingest --
     def _batch_postings(self, batch: DataFrame) -> DataFrame:
+        """Tokenize one micro-batch into posting rows via the SAME
+        `_partition_inverter` the batch builder uses (build.py postings
+        stage): mapInArrow consumes each doc row exactly once, so the
+        tokenizer expression can never be re-evaluated per element — the
+        explode(generator) O(tokens²)/doc trap the batch path documents is
+        structurally impossible here, and there is no groupBy shuffle at
+        all. Positions come out PRE-ENCODED as per-posting delta+varint
+        binary (the postings_raw contract), so compact() appends runs
+        verbatim."""
+        from ..build import (
+            POSTINGS_SCHEMA,
+            POSTINGS_SCHEMA_NOPOS,
+            _partition_inverter,
+        )
+
         cfg = self.cfg
-        toks = (
+        schema = POSTINGS_SCHEMA if cfg.store_positions else POSTINGS_SCHEMA_NOPOS
+        return (
             batch.select(
                 F.col(self.id_col).cast("long").alias("doc_id"),
                 tokens_col(F.col(self.text_col), cfg).alias("tokens"),
             )
-            .select(
-                "doc_id",
-                F.size("tokens").alias("dl"),
-                F.posexplode("tokens").alias("pos", "term"),
-            )
+            .mapInArrow(_partition_inverter(cfg), schema)
         )
-        aggs = [
-            F.count("*").cast("int").alias("tf"),
-            F.first("dl").alias("dl"),
-        ]
-        if cfg.store_positions:
-            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-        return toks.groupBy("term", "doc_id").agg(*aggs)
 
     def start(self, input_dir: str, schema: str, trigger_available_now: bool = True):
         """Start the ingestion stream. Each micro-batch appends a posting
@@ -127,12 +132,17 @@ class IncrementalIndexer:
 
         # the batch builder accepts prebuilt postings via its internal
         # staging path: write them where the builder's resume logic looks.
-        # Runs store positions as array<int> (collect_list output); the
-        # builder's postings_raw contract is PRE-ENCODED per-posting
-        # delta+varint binary, so convert at this boundary.
+        # New-format runs already store positions in the postings_raw
+        # contract (pre-encoded per-posting delta+varint binary, emitted by
+        # _partition_inverter); legacy runs store array<int> (collect_list
+        # output) and are converted at this boundary.
         os.makedirs(index_dir, exist_ok=True)
         postings_path = os.path.join(index_dir, "postings_raw")
-        if "positions" in merged.columns:
+        pos_is_binary = any(
+            f.name == "positions" and f.dataType.simpleString() == "binary"
+            for f in merged.schema.fields
+        )
+        if "positions" in merged.columns and not pos_is_binary:
             from ..build import POSTINGS_SCHEMA, _encode_positions_binary
 
             def _enc(batches):
@@ -167,6 +177,11 @@ class IncrementalIndexer:
             merged = merged.select(
                 "term", "doc_id", "tf", "dl", "positions"
             ).mapInArrow(_enc, POSTINGS_SCHEMA)
+        else:
+            merged = merged.select(
+                "term", "doc_id", "tf", "dl",
+                *(["positions"] if "positions" in merged.columns else []),
+            )
         merged.write.mode("overwrite").parquet(postings_path)
 
         # docs table from the surviving (last-run) postings (doc_id, doclen)
