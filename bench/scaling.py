@@ -94,12 +94,11 @@ def main() -> None:
     big = min(bigs, key=lambda r: r["build_sec"])
     t_n, t_4n = small["build_sec"], big["build_sec"]
     eff = (t_n / t_4n) / 4.0
-    q_eff = None
-    if small.get("query_sec_total") and big.get("query_sec_total"):
-        q_eff = (small["query_sec_total"] / big["query_sec_total"]) / 4.0
-    b_eff = None
-    if small.get("batch_query_sec") and big.get("batch_query_sec"):
-        b_eff = (small["batch_query_sec"] / big["batch_query_sec"]) / 4.0
+    # NOTE: this harness measures BUILD scaling only. Query/batch-query
+    # scaling has its own dedicated protocol (bench/query_scaling.py →
+    # BENCH/query_scaling.json) with a pre-built index and a 1000-distinct-
+    # query workload; the mixed numbers this job used to emit were
+    # measured while the build's caches were cold and understated it.
     result = {
         "repeats": args.repeats,
         "pinned_cpus": bool(args.pin),
@@ -113,12 +112,7 @@ def main() -> None:
         "docs_per_sec_n": small["docs_per_sec"],
         "docs_per_sec_4n": big["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
-        "query_scaling_efficiency": round(q_eff, 3) if q_eff else None,
-        "queries_per_sec_n": small.get("queries_per_sec"),
-        "queries_per_sec_4n": big.get("queries_per_sec"),
-        "batch_query_scaling_efficiency": round(b_eff, 3) if b_eff else None,
-        "batch_queries_per_sec_n": small.get("batch_queries_per_sec"),
-        "batch_queries_per_sec_4n": big.get("batch_queries_per_sec"),
+        "query_scaling": "see BENCH/query_scaling.json (dedicated protocol)",
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:

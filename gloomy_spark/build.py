@@ -564,21 +564,70 @@ class IndexBuilder:
         kept in the docs dimension; every n-gram hit recovers them via the
         broadcast metadata join (with_doc_metadata) — the dictionary-
         encoded analog of the reference's per-record args columns."""
+        # Build-scoped session confs, RESTORED on exit: leaking 32 MB
+        # splits into the caller's session taxed every later scan with
+        # 4× the tasks (the round-3 32-core bench suite regression —
+        # mixed build+query sessions paid task-launch overhead on
+        # queries that never asked for small splits).
+        #
+        # - arrow.maxRecordsPerBatch 1M: the writer/inverter do O(1)
+        #   python work per batch, so 10k-row default batches = 8000
+        #   needless round trips at 80M postings; 1M rows ≈ 40 MB.
+        # - files.maxPartitionBytes 32 MB: the corpus and postings_raw
+        #   scans feed the two python-heavy stages, and the default
+        #   128 MB split gives a 300 MB input only ~5 tasks — 1.5
+        #   scheduling waves with a straggler tail. 32 MB keeps every
+        #   core fed; at 100 TB the same setting yields ~3M splits, the
+        #   normal regime for a 1000-executor cluster.
+        _scoped = {
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "1000000",
+            "spark.sql.files.maxPartitionBytes": "33554432",
+        }
+        _prev: dict[str, str | None] = {}
+        for _k, _v in _scoped.items():
+            try:
+                _prev[_k] = self.spark.conf.get(_k)
+            except Exception:
+                _prev[_k] = None
+            self.spark.conf.set(_k, _v)
+        try:
+            return self._build_impl(
+                docs, index_dir,
+                id_col=id_col, text_col=text_col, url_col=url_col,
+                lang_col=lang_col, attr_cols=attr_cols, n_buckets=n_buckets,
+                resume=resume, input_snapshot=input_snapshot,
+                ngram_size=ngram_size, min_term_freq=min_term_freq,
+                term_filter=term_filter,
+                verify_unique_doc_ids=verify_unique_doc_ids,
+                fail_after_bucket=fail_after_bucket,
+            )
+        finally:
+            for _k, _pv in _prev.items():
+                if _pv is None:
+                    self.spark.conf.unset(_k)
+                else:
+                    self.spark.conf.set(_k, _pv)
+
+    def _build_impl(
+        self,
+        docs: DataFrame,
+        index_dir: str,
+        *,
+        id_col: str,
+        text_col: str,
+        url_col: str | None,
+        lang_col: str | None,
+        attr_cols: list[str] | None,
+        n_buckets: int,
+        resume: bool,
+        input_snapshot: str,
+        ngram_size: int,
+        min_term_freq: int,
+        term_filter,
+        verify_unique_doc_ids: bool,
+        fail_after_bucket: int | None,
+    ) -> Manifest:
         cfg = self.cfg
-        # big Arrow batches: the writer/inverter do O(1) python work per
-        # batch, so 10k-row default batches = 8000 needless round trips at
-        # 80M postings; 1M-row batches are ~40MB each — still small
-        self.spark.conf.set(
-            "spark.sql.execution.arrow.maxRecordsPerBatch", "1000000"
-        )
-        # small input splits: the corpus and postings_raw scans feed the
-        # two python-heavy stages, and the default 128 MB split size gives
-        # a 300 MB input only ~5 tasks — 1.5 scheduling waves with a long
-        # straggler tail on a multi-core executor. 32 MB splits keep every
-        # core fed with many tasks (still ≫ task overhead); at 100 TB the
-        # same setting yields ~3M splits, the normal regime for a
-        # 1000-executor cluster.
-        self.spark.conf.set("spark.sql.files.maxPartitionBytes", "33554432")
         store = IndexStore(index_dir)
         store.ensure_dirs()
         store.save_config(cfg)

@@ -618,6 +618,25 @@ FROM hits JOIN dls USING (doc_id)"""
     return fn, sql
 
 
+def q_term_attr_counts(term: str):
+    """Per-(term, attr-values) occurrence counts — the reference's
+    search-result Args (service/search.go:72-83): matched terms' postings
+    joined to the docs dimension, grouped by attr values."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        return si.term_attr_counts([term], ["lang"]).select(
+            "term", "lang", F.col("count").alias("n_occ")
+        )
+
+    sql = f"""WITH {TOKS_CTE}
+SELECT t.term AS term, d.lang AS lang, cast(count(*) AS bigint) AS n_occ
+FROM toks t JOIN documents d USING (doc_id)
+WHERE t.term = '{term}'
+GROUP BY t.term, d.lang"""
+    return fn, sql
+
+
 # ------------------------------------------------------------------ events --
 
 
@@ -1178,6 +1197,7 @@ def registry() -> dict[str, tuple]:
             ["scan filter window the", "merge", "join hash batch"], 10
         ),
         "bm25_with_metadata": q_bm25_with_metadata("merge group table", 10),
+        "term_attr_counts": q_term_attr_counts("data"),
         "phrase_match": q_phrase_match("table hash"),
         "bigram_index_counts": q_ngram_index_counts(2),
         "ngram_regexp_search": q_ngram_regexp(["s[ct]an", "(tab|col).*"]),

@@ -111,3 +111,83 @@ class IndexStore:
     def save_config(self, cfg: EngineConfig) -> None:
         with open(os.path.join(self.index_dir, "config.json"), "w") as f:
             f.write(cfg.to_json())
+
+
+# --------------------------------------------------------------- iceberg --
+
+
+def iceberg_available(spark) -> tuple[bool, str]:
+    """Capability probe for the Iceberg write path: is at least one
+    ``spark.sql.catalog.<name>`` configured with a loadable Iceberg
+    catalog class? Returns (ok, detail). The sandbox has no Iceberg jars,
+    so here this returns (False, …) — the probe is what keeps
+    `publish_index_to_iceberg` a clear error instead of an opaque
+    ClassNotFoundException at write time."""
+    try:
+        entries = spark.sparkContext.getConf().getAll()
+    except Exception as ex:  # pragma: no cover - defensive
+        return False, f"cannot read spark conf: {ex}"
+    catalogs = {
+        k.split(".", 3)[3]: v
+        for k, v in entries
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3
+    }
+    iceberg = {n: c for n, c in catalogs.items() if "iceberg" in c.lower()}
+    if not iceberg:
+        return False, "no spark.sql.catalog.<name> configured with an Iceberg catalog class"
+    for name, cls in iceberg.items():
+        try:
+            spark._jvm.java.lang.Class.forName(cls)  # noqa: SLF001
+            return True, f"catalog {name!r} ({cls})"
+        except Exception:
+            continue
+    return False, (
+        f"catalog(s) {sorted(iceberg)} configured but their classes are not "
+        "on the JVM classpath (missing iceberg-spark-runtime jar)"
+    )
+
+
+def publish_index_to_iceberg(
+    spark, index_dir: str, namespace: str, prefix: str = "idx"
+) -> list[str]:
+    """Publish a finished parquet index into Iceberg tables (the SURVEY
+    §1.3 target: ``writeTo("idx.segments")``).
+
+    Pattern: the builder writes to scratch parquet (cheap retries, loud
+    resume ledger), then this one call commits the three tables —
+    ``<namespace>.<prefix>_terms / _docs / _segments`` (segments
+    partitioned by bucket, preserving the term-range layout the query
+    engine prunes on) — each as a single atomic Iceberg snapshot commit.
+    Readers then get snapshot isolation and time travel for free, and
+    `read_pages`-style ``spark.read.table`` dispatch serves them.
+
+    Gated by `iceberg_available`: without a configured catalog + runtime
+    jar this raises RuntimeError up front instead of failing mid-publish.
+    """
+    ok, detail = iceberg_available(spark)
+    if not ok:
+        raise RuntimeError(
+            f"Iceberg write path unavailable: {detail}. Configure "
+            "spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog "
+            "and ship the iceberg-spark-runtime jar, or keep the parquet "
+            "directory store."
+        )
+    store = IndexStore(index_dir)
+    published = []
+    for name, path, part in (
+        ("terms", store.terms_path, None),
+        ("docs", store.docs_path, None),
+        ("segments", store.segments_path, "bucket"),
+    ):
+        df = spark.read.option("basePath", store.segments_path).parquet(
+            os.path.join(path, "bucket=*")
+        ) if part else spark.read.parquet(path)
+        ident = f"{namespace}.{prefix}_{name}"
+        writer = df.writeTo(ident)
+        if part:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(F.col(part))
+        writer.createOrReplace()
+        published.append(ident)
+    return published

@@ -154,6 +154,7 @@ def lsh_build(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_partition_bits: int = 16,
 ) -> dict:
     """Materialized hyperplane-LSH store (mirrors `ivf_build`): vectors
     written as parquet PARTITIONED BY their bucket code, with a per-bucket
@@ -165,11 +166,19 @@ def lsh_build(
     against a store, radius selection is a DRIVER LOOKUP over the count
     table (≤2^n_planes entries, tiny) and the candidate fetch is a
     partition-PRUNED scan that never opens cold buckets
-    (PartitionFilters on lsh_bucket — asserted in tests). The plane set
-    is derived from (dim, n_planes, seed) so queries recompute it
-    locally; only the counts and layout are stored. For n_planes beyond
-    ~16, partition by a fixed-width code prefix instead to bound
-    directory fan-out (the count table stays exact)."""
+    (PartitionFilters — asserted in tests). The plane set is derived
+    from (dim, n_planes, seed) so queries recompute it locally; only the
+    counts and layout are stored.
+
+    Directory fan-out is BOUNDED: with n_planes ≤ ``max_partition_bits``
+    the layout partitions by the full bucket code (one directory per
+    occupied bucket). Beyond that, the partition key is the top
+    ``max_partition_bits`` bits of the code (``lsh_prefix``) — at most
+    2^max_partition_bits directories regardless of n_planes — and the
+    full code travels as a data column, so probes still prune at the
+    directory level via the prefix and push the exact bucket filter down
+    to parquet row groups. The count table stays exact per full code
+    either way."""
     import json as _json
 
     from ..session import ship_package
@@ -178,14 +187,23 @@ def lsh_build(
     ship_package(spark)
     dim = len(emb.select(vec_col).first()[0])
     bucket = lsh_bucket_udf(dim, n_planes, seed)
+    prefix_bits = min(n_planes, max_partition_bits)
+    shift = n_planes - prefix_bits
+    coded = emb.withColumn("lsh_bucket", bucket(F.col(vec_col)))
+    part_col = "lsh_bucket" if shift == 0 else "lsh_prefix"
+    if shift:
+        coded = coded.withColumn(
+            "lsh_prefix", F.shiftrightunsigned("lsh_bucket", shift)
+        )
     (
-        emb.withColumn("lsh_bucket", bucket(F.col(vec_col)))
-        # shuffle on the bucket before the partitioned write: one file per
-        # bucket instead of one per (task × bucket) — without this a
-        # 1000-task build over 2^12 buckets writes ~4M tiny files
-        .repartition(F.col("lsh_bucket"))
+        coded
+        # shuffle on the partition key before the partitioned write: one
+        # file per directory instead of one per (task × directory) —
+        # without this a 1000-task build over 2^12 buckets writes ~4M
+        # tiny files
+        .repartition(F.col(part_col))
         .write.mode("overwrite")
-        .partitionBy("lsh_bucket")
+        .partitionBy(part_col)
         .parquet(f"{out_dir}/vectors")
     )
     counts = {
@@ -199,6 +217,8 @@ def lsh_build(
         "n_planes": n_planes,
         "seed": seed,
         "dim": dim,
+        "prefix_bits": prefix_bits,
+        "partition_col": part_col,
         "bucket_counts": {str(b): n for b, n in sorted(counts.items())},
     }
     with open(f"{out_dir}/lsh_meta.json", "w") as f:
@@ -248,9 +268,15 @@ def lsh_search(
             break
     probe = [int(b) for b in buckets[hd <= radius]]
 
-    vecs = spark.read.parquet(f"{out_dir}/vectors").where(
-        F.col("lsh_bucket").isin(probe)  # partition pruning: cold buckets unread
-    )
+    # directory-level pruning on the partition column; when the store is
+    # prefix-partitioned (n_planes > max_partition_bits) the exact bucket
+    # filter additionally pushes down to parquet row groups
+    shift = n_planes - meta.get("prefix_bits", n_planes)
+    cond = F.col("lsh_bucket").isin(probe)
+    if shift:
+        prefixes = sorted({b >> shift for b in probe})
+        cond = F.col("lsh_prefix").isin(prefixes) & cond
+    vecs = spark.read.parquet(f"{out_dir}/vectors").where(cond)
     qarr = F.array(*[F.lit(float(x)) for x in qv])
     cos = _dot(F.col(vec_col), qarr) / (_norm(F.col(vec_col)) * _norm(qarr))
     out = vecs.select(F.col(id_col).alias("vec_id"), F.round(cos, 4).alias("cos_sim"))

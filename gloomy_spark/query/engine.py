@@ -358,6 +358,31 @@ class SearchIndex:
                     del self._doc_attr_cache[next(iter(self._doc_attr_cache))]
         return {d: {c: row.get(c) for c in cols} for d, row in got.items()}
 
+    def term_attr_counts(self, terms: list[str], attrs: list[str]) -> DataFrame:
+        """Per-(term, attr-values) occurrence counts — the reference's
+        search-result Args (service/search.go:72-83, builder.go:130-139):
+        every n-gram result row carries the struct/metadata attr values it
+        occurred under, with counts grouped by (ngram, args).
+
+        Spark shape: the matched terms' postings (term_id-pushed-down
+        segment scan, bulk-decoded) joined to the docs dimension's attr
+        columns, then a partial-agg groupBy. The postings side of a search
+        result is the small side, so it broadcasts; the dim scan is pruned
+        to (doc_id + attrs). For head terms at 10¹² docs this is
+        O(postings of term) — the reference pays the same cost at BUILD
+        time by materializing per-(ngram, args) counts; an optional
+        build-time rollup table is the scale path if per-query latency on
+        head terms matters more than build time."""
+        cols = [c for c in attrs if c in self.docs.columns]
+        posts = self.postings_multi(terms).select("term", "doc_id", "tf")
+        dim = self.docs.select("doc_id", *cols)
+        return (
+            F.broadcast(posts)
+            .join(dim, "doc_id")
+            .groupBy("term", *cols)
+            .agg(F.sum("tf").cast("long").alias("count"))
+        )
+
     def export_ngrams_tsv(self, path: str, min_freq: int = 1) -> None:
         """S8 analog: dump (term, cf) as TSV (extras.ExtractUniqueNgrams)."""
         (

@@ -67,9 +67,25 @@ class SearchService:
             else:
                 res = si.search_exact(q)
             res = si.slice(res, offset, limit) if offset else res.limit(limit)
-            return [r.asDict() for r in res.collect()]
+            rows = [r.asDict() for r in res.collect()]
+            if attrs and rows:
+                # reference search-result Args (service/search.go:72-83):
+                # each returned term row carries its per-attr-values
+                # occurrence counts; computed only for the PAGE of rows
+                # being returned, so the postings side stays broadcast-small
+                by_term: dict[str, list] = {}
+                for r in si.term_attr_counts(
+                    [row["term"] for row in rows], attrs
+                ).collect():
+                    d = r.asDict()
+                    by_term.setdefault(d.pop("term"), []).append(d)
+                for row in rows:
+                    row["args"] = by_term.get(row["term"], [])
+            return rows
 
-        rows, hit = self._cached(("search", corpus, qtype, q, offset, limit), compute)
+        rows, hit = self._cached(
+            ("search", corpus, qtype, q, offset, limit, tuple(attrs)), compute
+        )
         return {"size": len(rows), "rows": rows, "cached": hit,
                 "searchTime": round(time.time() - t0, 4)}
 

@@ -196,3 +196,107 @@ def test_verify_unique_doc_ids(spark, tmp_path):
         resume=False, verify_unique_doc_ids=True,
     )
     assert m.n_docs == 2
+
+
+@pytest.mark.spark
+def test_service_search_attrs(spark, tmp_path):
+    """/search?attrs= must attach per-(term, attr-values) occurrence
+    counts (reference search-result Args) and key the cache on attrs."""
+    import json
+    import urllib.request
+
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.service import SearchService
+
+    cfg = EngineConfig(shuffle_partitions=4, doc_bucket_width=64)
+    idx = str(tmp_path / "aidx")
+    docs = pages_df(spark, 60, partitions=2).select("doc_id", "text", "url", "lang")
+    IndexBuilder(spark, cfg).build(
+        docs, idx, n_buckets=1, url_col="url", lang_col="lang"
+    )
+    svc = SearchService(spark, {"main": idx})
+    port = svc.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=120
+            ) as r:
+                return json.loads(r.read())
+
+        plain = get("/search?corpus=main&q=the&qtype=default")
+        assert "args" not in plain["rows"][0]
+        out = get("/search?corpus=main&q=the&qtype=default&attrs=lang")
+        row = out["rows"][0]
+        assert row["term"] == "the" and row["args"], row
+        # counts must equal a direct postings⨝docs aggregation
+        si = svc.indexes["main"]
+        posts = {r["doc_id"]: r["tf"] for r in si.postings("the").collect()}
+        langs = {r["doc_id"]: r["lang"] for r in si.docs.collect()}
+        want: dict[str, int] = {}
+        for d, tf in posts.items():
+            want[langs[d]] = want.get(langs[d], 0) + tf
+        got = {a["lang"]: a["count"] for a in row["args"]}
+        assert got == want
+        assert sum(got.values()) == row["cf"]
+        # attrs participates in the cache key: the plain result must not
+        # be served for the attrs request or vice versa
+        again = get("/search?corpus=main&q=the&qtype=default&attrs=lang")
+        assert again["cached"] and again["rows"][0]["args"] == row["args"]
+        plain2 = get("/search?corpus=main&q=the&qtype=default")
+        assert "args" not in plain2["rows"][0]
+    finally:
+        svc.stop()
+
+
+@pytest.mark.spark
+def test_lsh_store_prefix_partitioning_bounds_fanout(spark, tmp_path):
+    """n_planes above max_partition_bits must partition by a fixed-width
+    code PREFIX (bounded directory count) while search stays identical to
+    the inline scanner and prunes on the prefix at the file level."""
+    import glob
+
+    from gloomy_spark.ops import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "lsh20")
+    meta = simsearch.lsh_build(emb, out, n_planes=20, max_partition_bits=8)
+    assert meta["prefix_bits"] == 8 and meta["partition_col"] == "lsh_prefix"
+    assert sum(meta["bucket_counts"].values()) == emb.count()
+    dirs = glob.glob(f"{out}/vectors/lsh_prefix=*")
+    assert 0 < len(dirs) <= 2**8
+    assert not glob.glob(f"{out}/vectors/lsh_bucket=*")
+
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    res = simsearch.lsh_search(spark, out, qv, k=10, exclude_vec_id=0)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "lsh_prefix" in plan.split("PartitionFilters")[1][:200], plan
+    # the exact-bucket filter reaches the parquet scan as a pushed filter
+    assert "lsh_bucket" in plan.split("PushedFilters")[1][:300], plan
+
+    inline = [tuple(r) for r in simsearch.ann_lsh_topk(emb, 0, 10, n_planes=20).collect()]
+    store = [tuple(r) for r in res.collect()]
+    assert store == inline
+
+    exact = [tuple(r) for r in simsearch.cosine_topk(emb, 0, 10).collect()]
+    full = [
+        tuple(r)
+        for r in simsearch.lsh_search(
+            spark, out, qv, k=10, min_candidates=2**62, exclude_vec_id=0
+        ).collect()
+    ]
+    assert full == exact
+
+
+@pytest.mark.spark
+def test_iceberg_publish_capability_gated(spark, tmp_path):
+    """Sandbox has no Iceberg jars: the probe must say so and the publish
+    branch must raise the actionable error up front (SURVEY §1.3 target
+    exists as a real code path, gated on capability)."""
+    from gloomy_spark.index_store import iceberg_available, publish_index_to_iceberg
+
+    ok, detail = iceberg_available(spark)
+    assert ok is False and detail
+    with pytest.raises(RuntimeError, match="Iceberg write path unavailable"):
+        publish_index_to_iceberg(spark, str(tmp_path / "nope"), "cat.db")
