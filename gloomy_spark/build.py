@@ -549,6 +549,7 @@ class IndexBuilder:
         min_term_freq: int = 1,
         term_filter=None,
         verify_unique_doc_ids: bool = False,
+        attr_rollup_cols: list[str] | None = None,
         fail_after_bucket: int | None = None,  # test hook for resume tests
     ) -> Manifest:
         """Build a block-compressed index.
@@ -599,6 +600,7 @@ class IndexBuilder:
                 ngram_size=ngram_size, min_term_freq=min_term_freq,
                 term_filter=term_filter,
                 verify_unique_doc_ids=verify_unique_doc_ids,
+                attr_rollup_cols=attr_rollup_cols,
                 fail_after_bucket=fail_after_bucket,
             )
         finally:
@@ -625,6 +627,7 @@ class IndexBuilder:
         min_term_freq: int,
         term_filter,
         verify_unique_doc_ids: bool,
+        attr_rollup_cols: list[str] | None,
         fail_after_bucket: int | None,
     ) -> Manifest:
         cfg = self.cfg
@@ -720,6 +723,37 @@ class IndexBuilder:
                 "or derive ids from a wider hash."
             )
         n_docs, avgdl = int(agg["n"]), float(agg["avgdl"])
+
+        # --------------------------------------------------- attr_rollup/
+        # optional (term, attrs…, count) table — search-result Args paid
+        # at BUILD time like the reference (builder.go:130-139 groups
+        # n-grams by their metadata while counting). Queries then answer
+        # term_attr_counts from a term-pushed-down scan of this table,
+        # O(result) instead of O(postings of term) — the difference
+        # between a head term and a full posting decode at 10¹² docs.
+        # Range-partitioned + sorted by term so the isin filter prunes to
+        # a few row groups.
+        if attr_rollup_cols:
+            roll_cols = [c for c in attr_rollup_cols if c in docs_stats.columns]
+            if not roll_cols:
+                raise ValueError(
+                    f"attr_rollup_cols {attr_rollup_cols} — none present in "
+                    f"the docs dimension ({docs_stats.columns})"
+                )
+            if not (resume and store.stage_done("attr_rollup")):
+                (
+                    postings.select("term", "doc_id", "tf")
+                    .join(docs_stats.select("doc_id", *roll_cols), "doc_id")
+                    .groupBy("term", *roll_cols)
+                    .agg(F.sum("tf").cast("long").alias("count"))
+                    .repartitionByRange(shuffle_parts, "term")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .parquet(store.attr_rollup_path)
+                )
+            stages["attr_rollup"] = round(
+                time.time() - t0 - sum(stages.values()), 2
+            )
         min_doc = int(agg["min_doc"]) if agg["min_doc"] is not None else 0
         max_doc = int(agg["max_doc"]) if agg["max_doc"] is not None else 0
 

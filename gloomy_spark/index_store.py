@@ -74,6 +74,10 @@ class IndexStore:
         self.index_dir = index_dir
         self.terms_path = os.path.join(index_dir, "terms")
         self.docs_path = os.path.join(index_dir, "docs")
+        # optional build-time (term, attrs…, count) rollup — the scale
+        # path for term_attr_counts / search-result Args (reference
+        # builder.go:130-139 pays this cost at build time too)
+        self.attr_rollup_path = os.path.join(index_dir, "attr_rollup")
         self.segments_path = os.path.join(index_dir, "segments")
         self.ledger_path = os.path.join(index_dir, "ledger.jsonl")
 

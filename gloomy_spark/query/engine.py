@@ -370,9 +370,27 @@ class SearchIndex:
         result is the small side, so it broadcasts; the dim scan is pruned
         to (doc_id + attrs). For head terms at 10¹² docs this is
         O(postings of term) — the reference pays the same cost at BUILD
-        time by materializing per-(ngram, args) counts; an optional
-        build-time rollup table is the scale path if per-query latency on
-        head terms matters more than build time."""
+        time by materializing per-(ngram, args) counts; build with
+        ``attr_rollup_cols=[…]`` to get the same here — when the index
+        carries an attr_rollup table covering the requested attrs, this
+        answers from a term-pushed-down scan of it, O(result) even for
+        head terms (used automatically below)."""
+        import os
+
+        lowered = [t.lower() for t in dict.fromkeys(terms)]
+        roll_path = self.store.attr_rollup_path
+        if os.path.exists(os.path.join(roll_path, "_SUCCESS")):
+            roll = self.spark.read.parquet(roll_path)
+            cols = [c for c in attrs if c in roll.columns]
+            if cols and all(c in roll.columns for c in attrs if c in self.docs.columns):
+                return (
+                    roll.where(F.col("term").isin(lowered))
+                    # re-aggregate: the rollup may carry MORE attr columns
+                    # than this request (e.g. built with [lang, url],
+                    # queried with [lang])
+                    .groupBy("term", *cols)
+                    .agg(F.sum("count").cast("long").alias("count"))
+                )
         cols = [c for c in attrs if c in self.docs.columns]
         posts = self.postings_multi(terms).select("term", "doc_id", "tf")
         dim = self.docs.select("doc_id", *cols)

@@ -300,3 +300,47 @@ def test_iceberg_publish_capability_gated(spark, tmp_path):
     assert ok is False and detail
     with pytest.raises(RuntimeError, match="Iceberg write path unavailable"):
         publish_index_to_iceberg(spark, str(tmp_path / "nope"), "cat.db")
+
+
+@pytest.mark.spark
+def test_attr_rollup_build_and_query(spark, tmp_path):
+    """attr_rollup_cols materializes (term, attrs, count) at build time;
+    term_attr_counts answers from it (term filter pushed to the scan) and
+    re-aggregates when fewer attrs are requested — values identical to
+    the on-the-fly postings⨝docs path."""
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+
+    cfg = EngineConfig(shuffle_partitions=4, doc_bucket_width=64)
+    docs = pages_df(spark, 80, partitions=2).select("doc_id", "text", "url", "lang")
+
+    idx_roll = str(tmp_path / "idx_roll")
+    IndexBuilder(spark, cfg).build(
+        docs, idx_roll, n_buckets=1, url_col="url", lang_col="lang",
+        attr_rollup_cols=["lang", "url"],
+    )
+    idx_plain = str(tmp_path / "idx_plain")
+    IndexBuilder(spark, cfg).build(
+        docs, idx_plain, n_buckets=1, url_col="url", lang_col="lang"
+    )
+
+    si_r = SearchIndex(spark, idx_roll)
+    si_p = SearchIndex(spark, idx_plain)
+    assert os.path.exists(os.path.join(idx_roll, "attr_rollup", "_SUCCESS"))
+
+    for req in (["lang"], ["lang", "url"]):
+        df_r = si_r.term_attr_counts(["the", "data"], req)
+        got_r = sorted(tuple(r) for r in df_r.collect())
+        got_p = sorted(
+            tuple(r) for r in si_p.term_attr_counts(["the", "data"], req).collect()
+        )
+        assert got_r == got_p and got_r, req
+    # the rollup path pushes the term filter into the parquet scan
+    plan = (
+        si_r.term_attr_counts(["the"], ["lang"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200]
+    # a plain index ignores the rollup branch entirely
+    assert not os.path.exists(os.path.join(idx_plain, "attr_rollup"))
