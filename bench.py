@@ -70,7 +70,9 @@ def main() -> None:
     idx_dir = tempfile.mkdtemp(prefix="gloomy_bench_sfidx_")
     manifest = timed(
         "q_build_index_sf",
-        lambda: IndexBuilder(spark, cfg).build(docs, idx_dir, n_buckets=2, resume=False),
+        lambda: IndexBuilder(
+            spark, cfg
+        ).build(docs, idx_dir, n_buckets=2, resume=False, lang_col="lang"),
     )
     extra["sf_docs"] = manifest.n_docs
     extra["sf_docs_per_sec"] = round(manifest.n_docs / timings["q_build_index_sf"], 1)
@@ -109,6 +111,12 @@ def main() -> None:
     timed("q_postings_decode", lambda: si.postings("scan").count())
     timed("q_prefix_search", lambda: si.search_prefix("s").collect())
     timed("q_regexp_search", lambda: si.search_regexp("s[ct]an").collect())
+    # search-result Args (on-the-fly postings⨝docs path; the rollup path
+    # is build-time and covered by tests)
+    timed(
+        "q_term_attr_counts",
+        lambda: si.term_attr_counts(["the", "data", "scan"], ["lang"]).count(),
+    )
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ---- operator suite from the driver registry ----

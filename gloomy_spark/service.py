@@ -7,6 +7,9 @@ SparkSession with cached terms/segments per corpus and serves from it.
 Endpoints (mirroring server.go:115-144 query params):
     GET /search?corpus=<name>&q=<query>&qtype=default|prefix|regexp
         &offset=0&limit=10&attrs=url&attrs=lang
+        (qtype=regexp + a space-separated query = one anchored pattern
+        per n-gram position, reference searchByRegexp semantics;
+        attrs=… attaches per-(term, attr-values) occurrence counts)
     GET /bm25?corpus=<name>&q=<terms>&k=10
 Response: {"size": N, "rows": [...], "searchTime": sec}
 """
@@ -61,7 +64,15 @@ class SearchService:
 
         def compute() -> list:
             if qtype == "regexp":
-                res = si.search_regexp(q)
+                # reference parity (service/search.go:137-158): a space-
+                # separated regexp phrase applies one anchored pattern PER
+                # n-gram position; a single pattern searches unigram terms
+                pats = q.split(" ")
+                res = (
+                    si.search_ngram_regexp(pats)
+                    if len(pats) > 1
+                    else si.search_regexp(q)
+                )
             elif qtype == "prefix" or q.endswith("*"):
                 res = si.search_prefix(q)
             else:

@@ -344,3 +344,42 @@ def test_attr_rollup_build_and_query(spark, tmp_path):
     assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[1][:200]
     # a plain index ignores the rollup branch entirely
     assert not os.path.exists(os.path.join(idx_plain, "attr_rollup"))
+
+
+@pytest.mark.spark
+def test_service_ngram_regexp_qtype(spark, tmp_path):
+    """qtype=regexp with a space-separated query applies one anchored
+    pattern per n-gram position (reference searchByRegexp parity)."""
+    import json
+    import urllib.request
+
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.service import SearchService
+
+    cfg = EngineConfig(shuffle_partitions=4, doc_bucket_width=64)
+    idx = str(tmp_path / "ngidx")
+    docs = pages_df(spark, 60, partitions=2).select("doc_id", "text")
+    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=1, ngram_size=2)
+    svc = SearchService(spark, {"main": idx})
+    port = svc.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?corpus=main&q=th.*%20.*a.*"
+            "&qtype=regexp&limit=100000",
+            timeout=120,
+        ) as r:
+            out = json.loads(r.read())
+        got = {row["term"] for row in out["rows"]}
+        want = {
+            r["term"]
+            for r in svc.indexes["main"].search_ngram_regexp(["th.*", ".*a.*"]).collect()
+        }
+        assert got and got == want
+        import re
+
+        for t in got:
+            a, b = t.split(" ")
+            assert re.fullmatch("th.*", a) and re.fullmatch(".*a.*", b)
+    finally:
+        svc.stop()
