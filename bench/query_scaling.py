@@ -61,12 +61,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1, help="small cluster size N")
     ap.add_argument("--docs", type=int, default=300_000)
-    ap.add_argument("--queries", type=int, default=40)
+    # official protocol since round 3: 1000 DISTINCT Zipf-sampled queries
+    # (small batches measure fixed overhead, not scoring scaling)
+    ap.add_argument("--queries", type=int, default=1000)
     ap.add_argument("--bucket-width", type=int, default=1 << 14,
                     help="docs per posting bucket (16384 → ~18 buckets at "
                          "300k docs, the multi-bucket regime of big corpora)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--pin", action="store_true")
+    ap.add_argument("--index", default="",
+                    help="reuse this prebuilt index dir (must match --docs/"
+                         "--bucket-width; skips the build, kept on exit)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -74,13 +79,24 @@ def main() -> None:
 
     build_zip()
 
-    idx = tempfile.mkdtemp(prefix="gloomy_qscale_idx_", dir="/dev/shm")
-    shutil.rmtree(idx, ignore_errors=True)
-    built = run_job(4, [
-        "--docs", str(args.docs), "--queries", "0", "--n-buckets", "1",
-        "--bucket-width", str(args.bucket_width), "--keep", idx,
-    ])
-    sys.stderr.write(f"index built: {built['docs']} docs, {built['postings']} postings\n")
+    reused = bool(
+        args.index and os.path.exists(os.path.join(args.index, "manifest.json"))
+    )
+    if reused:
+        idx = args.index
+        sys.stderr.write(f"reusing index at {idx}\n")
+    else:
+        idx = args.index or tempfile.mkdtemp(
+            prefix="gloomy_qscale_idx_", dir="/dev/shm"
+        )
+        shutil.rmtree(idx, ignore_errors=True)
+        built = run_job(4, [
+            "--docs", str(args.docs), "--queries", "0", "--n-buckets", "1",
+            "--bucket-width", str(args.bucket_width), "--keep", idx,
+        ])
+        sys.stderr.write(
+            f"index built: {built['docs']} docs, {built['postings']} postings\n"
+        )
 
     serve = ["--index-dir", idx, "--queries", str(args.queries),
              "--bucket-width", str(args.bucket_width)]
@@ -125,7 +141,8 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "query_scaling.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
-    shutil.rmtree(idx, ignore_errors=True)
+    if not reused:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 if __name__ == "__main__":

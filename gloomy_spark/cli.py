@@ -39,6 +39,11 @@ def _build_parser() -> argparse.ArgumentParser:
     se.add_argument("--qtype", default="default", choices=["default", "prefix", "regexp"])
     se.add_argument("--offset", type=int, default=0)
     se.add_argument("--limit", type=int, default=10)
+    se.add_argument(
+        "--attrs", default="",
+        help="comma-separated metadata attrs: each result row carries its "
+        "per-attr-values occurrence counts (reference searchCLI meta)",
+    )
 
     bm = sub.add_parser("bm25", help="BM25 top-k ranking")
     bm.add_argument("--index", required=True)
@@ -158,13 +163,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         si = SearchIndex(spark, args.index)
         if args.qtype == "regexp":
-            res = si.search_regexp(args.query)
+            pats = args.query.split(" ")
+            res = (
+                si.search_ngram_regexp(pats)
+                if len(pats) > 1
+                else si.search_regexp(args.query)
+            )
         elif args.qtype == "prefix" or args.query.endswith("*"):
             res = si.search_prefix(args.query)
         else:
             res = si.search_exact(args.query)
-        for r in si.slice(res, args.offset, args.limit).collect():
-            _emit(r.asDict())
+        rows = [r.asDict() for r in si.slice(res, args.offset, args.limit).collect()]
+        attrs = [a for a in args.attrs.split(",") if a]
+        if attrs and rows:
+            by_term: dict = {}
+            for r in si.term_attr_counts([row["term"] for row in rows], attrs).collect():
+                d = r.asDict()
+                by_term.setdefault(d.pop("term"), []).append(d)
+            for row in rows:
+                row["args"] = by_term.get(row["term"], [])
+        for row in rows:
+            _emit(row)
         return 0
 
     if args.command == "bm25":

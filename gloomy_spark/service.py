@@ -4,7 +4,8 @@ Differences by design: the reference reloads the index from disk on every
 request (search.go:176-181); this service holds ONE long-lived
 SparkSession with cached terms/segments per corpus and serves from it.
 
-Endpoints (mirroring server.go:115-144 query params):
+Endpoints (mirroring server.go:115-158 query params):
+    GET /                      — service info (name, version, corpora)
     GET /search?corpus=<name>&q=<query>&qtype=default|prefix|regexp
         &offset=0&limit=10&attrs=url&attrs=lang
         (qtype=regexp + a space-separated query = one anchored pattern
@@ -141,6 +142,22 @@ class SearchService:
                     return qs.get(name, [default])[0]
 
                 try:
+                    if u.path in ("", "/"):
+                        # reference actionInfo (server.go:146-151,155-156)
+                        from . import __version__
+
+                        out = {
+                            "name": "gloomy-spark - the n-gram database",
+                            "version": __version__,
+                            "corpora": sorted(svc.indexes),
+                        }
+                        body = json.dumps(out).encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     corpus = p("corpus")
                     if corpus not in svc.indexes:
                         raise KeyError(f"unknown corpus {corpus!r}")

@@ -383,3 +383,64 @@ def test_service_ngram_regexp_qtype(spark, tmp_path):
             assert re.fullmatch("th.*", a) and re.fullmatch(".*a.*", b)
     finally:
         svc.stop()
+
+
+@pytest.mark.spark
+def test_service_info_endpoint(spark, tmp_path):
+    """GET / returns service info (reference actionInfo parity)."""
+    import json
+    import urllib.request
+
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.service import SearchService
+
+    cfg = EngineConfig(shuffle_partitions=4, doc_bucket_width=64)
+    idx = str(tmp_path / "iidx")
+    IndexBuilder(spark, cfg).build(
+        pages_df(spark, 20, partitions=1).select("doc_id", "text"), idx, n_buckets=1
+    )
+    svc = SearchService(spark, {"main": idx, "other": idx})
+    port = svc.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=60) as r:
+            out = json.loads(r.read())
+        assert out["corpora"] == ["main", "other"]
+        assert "gloomy-spark" in out["name"] and out["version"]
+    finally:
+        svc.stop()
+
+
+@pytest.mark.spark
+def test_cli_search_attrs_and_ngram_regexp(spark, tmp_path, capsys):
+    """CLI search: --attrs attaches per-attr-values counts (reference
+    searchCLI meta output); regexp qtype with spaces is per-position."""
+    import json
+
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.cli import main
+    from gloomy_spark.corpus import pages_df
+
+    cfg = EngineConfig(shuffle_partitions=4, doc_bucket_width=64)
+    idx = str(tmp_path / "cidx")
+    docs = pages_df(spark, 40, partitions=1).select("doc_id", "text", "lang")
+    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=1, lang_col="lang")
+
+    rc = main(
+        ["search", "--index", idx, "--query", "the", "--attrs", "lang"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["term"] == "the" and rows[0]["args"]
+    assert sum(a["count"] for a in rows[0]["args"]) == rows[0]["cf"]
+
+    rc = main(
+        ["search", "--index", idx, "--query", "th.* .*", "--qtype", "regexp",
+         "--limit", "5"],
+        spark=spark,
+    )
+    assert rc == 0
+    out2 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    # unigram index → no bigram terms; per-position dispatch must not blow up
+    assert out2 == []
