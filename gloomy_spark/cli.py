@@ -59,14 +59,31 @@ def _build_parser() -> argparse.ArgumentParser:
     sv = sub.add_parser("search-service", help="HTTP search service")
     sv.add_argument(
         "--corpus", action="append", required=True,
-        help="name=index_dir (repeatable)",
+        help="name=index_dir (repeatable); name=index_dir@runs_dir also "
+        "serves /bm25?nrt=1 over uncompacted streaming runs",
     )
     sv.add_argument("--port", type=int, default=8090)
 
     st = sub.add_parser("stats", help="index manifest + bucket ledger")
     st.add_argument("--index", required=True)
 
-    for p in (ci, se, bm, ex, sv, st):
+    ig = sub.add_parser(
+        "ingest-stream",
+        help="stream a directory of corpus parquet into posting runs "
+        "(Structured Streaming, availableNow; exactly-once per file)",
+    )
+    ig.add_argument("--input", required=True, help="input parquet directory")
+    ig.add_argument("--work-dir", required=True, help="ingestion work dir")
+    ig.add_argument("--schema", default="doc_id long, text string")
+
+    co = sub.add_parser(
+        "compact", help="merge posting runs into a block-compressed index"
+    )
+    co.add_argument("--work-dir", required=True)
+    co.add_argument("--out", required=True, help="index output directory")
+    co.add_argument("--buckets", type=int, default=4)
+
+    for p in (ci, se, bm, ex, sv, st, ig, co):
         p.add_argument("--master", default="local[*]")
         p.add_argument("--shuffle-partitions", type=int, default=32)
     return ap
@@ -204,6 +221,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         si = SearchIndex(spark, args.index)
         si.export_ngrams_tsv(args.out, min_freq=args.min_freq)
         _emit({"out": args.out, "min_freq": args.min_freq})
+        return 0
+
+    if args.command == "ingest-stream":
+        from .config import EngineConfig
+        from .streaming.incremental import IncrementalIndexer
+
+        inc = IncrementalIndexer(
+            spark, args.work_dir,
+            EngineConfig(shuffle_partitions=args.shuffle_partitions),
+        )
+        inc.start(args.input, args.schema).awaitTermination()
+        n_runs = 0
+        if os.path.exists(inc.run_ledger):
+            with open(inc.run_ledger) as f:
+                n_runs = sum(1 for l in f if l.strip())
+        _emit({"work_dir": args.work_dir, "runs": n_runs,
+               "runs_dir": inc.runs_dir})
+        return 0
+
+    if args.command == "compact":
+        from .config import EngineConfig
+        from .streaming.incremental import IncrementalIndexer
+
+        inc = IncrementalIndexer(
+            spark, args.work_dir,
+            EngineConfig(shuffle_partitions=args.shuffle_partitions),
+        )
+        manifest = inc.compact(args.out, n_buckets=args.buckets)
+        _emit({"out": args.out, "n_docs": manifest.n_docs,
+               "n_terms": manifest.n_terms,
+               "postings": manifest.postings_total})
         return 0
 
     if args.command == "search-service":

@@ -11,7 +11,10 @@ Endpoints (mirroring server.go:115-158 query params):
         (qtype=regexp + a space-separated query = one anchored pattern
         per n-gram position, reference searchByRegexp semantics;
         attrs=… attaches per-(term, attr-values) occurrence counts)
-    GET /bm25?corpus=<name>&q=<terms>&k=10
+    GET /bm25?corpus=<name>&q=<terms>&k=10[&nrt=1]
+        (nrt=1 — for corpora configured as "index_dir@runs_dir" — scores
+        over base ⊎ uncompacted streaming runs, exact vs a full rebuild;
+        NRT cache entries are keyed on the run-set version)
 Response: {"size": N, "rows": [...], "searchTime": sec}
 """
 
@@ -35,14 +38,40 @@ class SearchService:
     CACHE_SIZE = 256
 
     def __init__(self, spark: SparkSession, corpora: dict[str, str]):
-        """corpora: name → index_dir."""
+        """corpora: name → index_dir, or name → "index_dir@runs_dir" to
+        also serve NEAR-REAL-TIME results over the streaming ingestion's
+        uncompacted posting runs (`/bm25?...&nrt=1` → base ⊎ runs, exact
+        vs a full rebuild — streaming/nrt.py)."""
         self.spark = spark
-        self.indexes = {
-            name: SearchIndex(spark, path).cache() for name, path in corpora.items()
-        }
+        self.indexes: dict[str, SearchIndex] = {}
+        self.runs_dirs: dict[str, str] = {}
+        for name, spec in corpora.items():
+            path, _, runs = spec.partition("@")
+            self.indexes[name] = SearchIndex(spark, path).cache()
+            if runs:
+                self.runs_dirs[name] = runs
         self._server: ThreadingHTTPServer | None = None
         self._cache: OrderedDict[tuple, list] = OrderedDict()
         self._cache_lock = threading.Lock()
+
+    def _runs_version(self, corpus: str) -> tuple:
+        """Cache-key component for NRT requests: the run ledger grows as
+        micro-batches land, so (size, mtime_ns) of the ingestion work
+        dir's runs.jsonl changes with every new run — cached NRT results
+        can never outlive the run set they were computed from. (The base
+        index stays write-once; non-NRT keys don't need this.)"""
+        import os
+
+        runs_dir = self.runs_dirs[corpus].rstrip("/")
+        ledger = os.path.join(os.path.dirname(runs_dir), "runs.jsonl")
+        out = []
+        for p in (ledger, runs_dir):
+            try:
+                st = os.stat(p)
+                out.append((st.st_size, st.st_mtime_ns))
+            except OSError:
+                out.append((0, 0))
+        return tuple(out)
 
     def _cached(self, key: tuple, compute) -> tuple[list, bool]:
         with self._cache_lock:
@@ -101,9 +130,32 @@ class SearchService:
         return {"size": len(rows), "rows": rows, "cached": hit,
                 "searchTime": round(time.time() - t0, 4)}
 
-    def bm25(self, corpus: str, q: str, k: int, attrs: list[str]) -> dict:
+    def bm25(self, corpus: str, q: str, k: int, attrs: list[str],
+             nrt: bool = False) -> dict:
         t0 = time.time()
         si = self.indexes[corpus]
+
+        if nrt:
+            if corpus not in self.runs_dirs:
+                raise KeyError(f"corpus {corpus!r} has no runs dir configured")
+
+            def compute_nrt() -> list:
+                from .streaming.nrt import nrt_bm25_topk
+
+                top = nrt_bm25_topk(si, self.runs_dirs[corpus], q, k).collect()
+                rows = [{"doc_id": r["doc_id"], "score": r["score"]} for r in top]
+                if attrs and rows:
+                    # docs that exist only in uncompacted runs have no base
+                    # docs-dimension row yet → their attrs resolve {}
+                    amap = si.doc_attrs([r["doc_id"] for r in rows], attrs)
+                    rows = [{**r, **amap.get(r["doc_id"], {})} for r in rows]
+                return rows
+
+            key = ("bm25-nrt", corpus, q, k, tuple(attrs),
+                   self._runs_version(corpus))
+            rows, hit = self._cached(key, compute_nrt)
+            return {"size": len(rows), "rows": rows, "cached": hit,
+                    "searchTime": round(time.time() - t0, 4)}
 
         def compute() -> list:
             if si._term_map is not None:
@@ -168,7 +220,10 @@ class SearchService:
                             int(p("offset", "0")), int(p("limit", "10")), attrs,
                         )
                     elif u.path == "/bm25":
-                        out = svc.bm25(corpus, p("q", ""), int(p("k", "10")), attrs)
+                        out = svc.bm25(
+                            corpus, p("q", ""), int(p("k", "10")), attrs,
+                            nrt=p("nrt", "0") not in ("0", "", "false"),
+                        )
                     else:
                         self.send_error(404)
                         return

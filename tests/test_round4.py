@@ -444,3 +444,99 @@ def test_cli_search_attrs_and_ngram_regexp(spark, tmp_path, capsys):
     out2 = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     # unigram index → no bigram terms; per-position dispatch must not blow up
     assert out2 == []
+
+
+@pytest.mark.spark
+def test_service_nrt_bm25_and_streaming_cli(spark, tmp_path, capsys):
+    """End-to-end streaming serving: CLI ingest-stream → /bm25?nrt=1
+    equals nrt_bm25_topk directly, NRT cache entries don't outlive the
+    run set, and CLI compact produces a queryable index."""
+    import json
+    import urllib.request
+
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.cli import main
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+    from gloomy_spark.service import SearchService
+    from gloomy_spark.streaming.nrt import nrt_bm25_topk
+
+    cfg = EngineConfig(shuffle_partitions=4, doc_bucket_width=64)
+    base_idx = str(tmp_path / "base_idx")
+    base_docs = pages_df(spark, 50, partitions=2).select("doc_id", "text")
+    IndexBuilder(spark, cfg).build(base_docs, base_idx, n_buckets=1)
+
+    # stream 10 NEW docs into runs via the CLI
+    stream_in = str(tmp_path / "stream_in")
+    pages_df(spark, 60, partitions=1).where("doc_id >= 50").select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(stream_in)
+    work = str(tmp_path / "work")
+    rc = main(
+        ["ingest-stream", "--input", stream_in, "--work-dir", work,
+         "--shuffle-partitions", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["runs"] >= 1
+
+    runs_dir = summary["runs_dir"]
+    svc = SearchService(spark, {"main": f"{base_idx}@{runs_dir}"})
+    port = svc.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=120
+            ) as r:
+                return json.loads(r.read())
+
+        q = "the data"
+        si = svc.indexes["main"]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in nrt_bm25_topk(si, runs_dir, q, 5).collect()
+        ]
+        out = get(f"/bm25?corpus=main&q=the%20data&k=5&nrt=1")
+        got = [(r["doc_id"], round(r["score"], 9)) for r in out["rows"]]
+        assert got == want
+        base_only = get(f"/bm25?corpus=main&q=the%20data&k=5")
+        assert [r["doc_id"] for r in base_only["rows"]] != [] and (
+            got != [(r["doc_id"], round(r["score"], 9)) for r in base_only["rows"]]
+        )
+        # cached on repeat, with the SAME run set
+        again = get(f"/bm25?corpus=main&q=the%20data&k=5&nrt=1")
+        assert again["cached"] is True
+
+        # new micro-batch arrives → the version key changes → fresh compute
+        pages_df(spark, 70, partitions=1).where("doc_id >= 60").select(
+            "doc_id", "text"
+        ).write.mode("append").parquet(stream_in)
+        rc = main(
+            ["ingest-stream", "--input", stream_in, "--work-dir", work,
+             "--shuffle-partitions", "4"],
+            spark=spark,
+        )
+        assert rc == 0
+        capsys.readouterr()
+        fresh = get(f"/bm25?corpus=main&q=the%20data&k=5&nrt=1")
+        assert fresh["cached"] is False
+        want2 = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in nrt_bm25_topk(si, runs_dir, q, 5).collect()
+        ]
+        assert [(r["doc_id"], round(r["score"], 9)) for r in fresh["rows"]] == want2
+    finally:
+        svc.stop()
+
+    # CLI compact → queryable index covering base ∪ streamed docs
+    out_idx = str(tmp_path / "compacted")
+    rc = main(
+        ["compact", "--work-dir", work, "--out", out_idx, "--buckets", "1",
+         "--shuffle-partitions", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_docs"] == 20  # the 20 streamed docs
+    assert SearchIndex(spark, out_idx).terms.count() > 0
