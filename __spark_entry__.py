@@ -6,9 +6,11 @@
   ops), callables (spark, sf_dir) → DataFrame.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query (generated alongside
   the Spark implementations from shared constants in
-  gloomy_spark/entry_queries.py). Entries without SQL are approximate /
-  non-SQL-expressible ops (LSH ANN, crc32-derived media metadata) and get
-  the driver's rows-only check.
+  gloomy_spark/entry_queries.py). Since round 4 EVERY entry is
+  value-checked: approximate ops (LSH/IVF ANN, banded near-pair search)
+  are violation-gated — the entry runs the approximate operator, checks
+  its contract (exact-subset + recall floor) against the exact twin, and
+  returns the violation set, which the oracle pins to empty.
 """
 
 from __future__ import annotations

@@ -79,43 +79,54 @@ def main() -> None:
     bsec = 0.0
     n_batch = 0
     n_conc = 0
+    n_conc_batches = 0
     if args.queries:
         from concurrent.futures import ThreadPoolExecutor
 
+        import numpy as np
+
+        from gloomy_spark.corpus import build_vocab
+        from gloomy_spark.query.microbatch import Bm25MicroBatcher
+
         si = SearchIndex(spark, out).cache()
-        queries = ["the data of", "scan index engine", "žluťoučký kůň",
-                   "the", "of and to in", "alpha beta gamma delta",
-                   "one two", "merge sort join", "lorem ipsum", "vox populi"]
-        # concurrent serving model: Spark's scheduler multiplexes jobs.
-        # Capped at 40 — per-query jobs pay the scheduling floor each, so
-        # large counts only multiply wall-clock without changing q/s
-        n_conc = min(args.queries, 40)
-        qs = (queries * ((n_conc + len(queries) - 1) // len(queries)))[:n_conc]
+        vocab = build_vocab()
+
+        def zipf_queries(n: int, seed: int) -> list[str]:
+            rng = np.random.default_rng(seed)
+            probs = 1.0 / np.arange(1, len(vocab) + 1, dtype=np.float64) ** 0.7
+            probs /= probs.sum()
+            return [
+                " ".join(
+                    vocab[i]
+                    for i in rng.choice(
+                        len(vocab), size=int(l), replace=False, p=probs
+                    )
+                )
+                for l in rng.integers(1, 5, size=n)
+            ]
+
+        # concurrent serving model (micro-batched since round 4): 40
+        # client threads issue per-query requests through Bm25MicroBatcher
+        # — arrivals within the 50 ms window coalesce into ONE
+        # bm25_topk_batch job, so the scheduling floor amortizes and
+        # concurrent throughput tracks batch throughput instead of the
+        # per-job floor (which measured 0.55-0.62 N→4N for two rounds).
+        # DISTINCT Zipf queries (seed differs from the batch workload).
+        n_conc = min(args.queries, 200)
+        qs = zipf_queries(n_conc, seed=11)
+        mb = Bm25MicroBatcher(si)
         tq = time.time()
-        with ThreadPoolExecutor(max_workers=max(8, cores * 2)) as ex:
-            list(ex.map(lambda q: si.bm25_topk(q, 10).collect(), qs))
+        with ThreadPoolExecutor(max_workers=40) as ex:
+            list(ex.map(lambda q: mb.query(q, 10), qs))
         qsec = time.time() - tq
+        n_conc_batches = mb.batches_run
         # batched serving model: ALL queries in ONE job — the per-query
         # scheduling floor amortizes, so this is the number that should
         # scale with cores. DISTINCT Zipf-sampled queries (seeded): the
         # batch scorer memoizes identical term-sets, so a repeated-query
         # workload would measure memoization, not scoring throughput.
-        import numpy as np
-
-        from gloomy_spark.corpus import build_vocab
-
-        vocab = build_vocab()
-        rng = np.random.default_rng(7)
-        probs = 1.0 / np.arange(1, len(vocab) + 1, dtype=np.float64) ** 0.7
-        probs /= probs.sum()
         n_batch = max(args.queries, 40)
-        batch_qs = [
-            " ".join(
-                vocab[i]
-                for i in rng.choice(len(vocab), size=int(l), replace=False, p=probs)
-            )
-            for l in rng.integers(1, 5, size=n_batch)
-        ]
+        batch_qs = zipf_queries(n_batch, seed=7)
         tb = time.time()
         si.bm25_topk_batch(batch_qs, 10).collect()
         bsec = time.time() - tb
@@ -130,6 +141,8 @@ def main() -> None:
         "docs_per_sec": round(manifest.n_docs / build_sec, 1) if build_sec else None,
         "query_sec_total": round(qsec, 2),
         "queries_per_sec": round(n_conc / qsec, 2) if qsec else None,
+        "conc_queries": n_conc,
+        "conc_batches": n_conc_batches,
         "batch_queries": n_batch,
         "batch_query_sec": round(bsec, 2),
         "batch_queries_per_sec": round(n_batch / bsec, 2) if bsec else None,

@@ -132,6 +132,9 @@ def main() -> None:
         "batch_query_scaling_efficiency": round(
             (small["batch_query_sec"] / big["batch_query_sec"]) / 4.0, 3
         ),
+        "concurrent_queries": small.get("conc_queries"),
+        "concurrent_microbatches_n": small.get("conc_batches"),
+        "concurrent_microbatches_4n": big.get("conc_batches"),
         "concurrent_query_sec_n": small["query_sec_total"],
         "concurrent_query_sec_4n": big["query_sec_total"],
         "concurrent_query_scaling_efficiency": round(

@@ -28,8 +28,14 @@ FEATURE_DIM = 8
 def media_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic fake media table: bytes derived from the text column,
     typed metadata derived from content hash — real binary-column plumbing
-    without real codecs."""
-    h = F.crc32(F.col(text_col))
+    without real codecs.
+
+    The metadata hash is the first 8 hex chars of md5(text) as an integer
+    (NOT crc32): md5 is the one hash both Spark and DuckDB compute
+    identically over strings, which makes every downstream derivation —
+    including frame sampling — value-checkable against a pure-SQL oracle
+    (DuckDB: ``('0x' || substr(md5(text), 1, 8))::BIGINT``)."""
+    h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.encode(F.col(text_col), "utf-8").alias("media"),
@@ -85,7 +91,13 @@ def extract_features(media: DataFrame) -> DataFrame:
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: emits (doc_id, frame_ts_ms,
     frame_hash) per sampled timestamp — the explode/fan-out shape a real
-    frame extractor produces, with the decoder stubbed."""
+    frame extractor produces, with the decoder stubbed.
+
+    frame_hash = md5(md5_hex(media) ‖ ':' ‖ frame_idx) — the outer md5 is
+    over a STRING composition of the (binary-computed) content digest and
+    the frame index, so the whole fan-out is value-checkable in plain SQL
+    (DuckDB: ``md5(md5(text) || ':' || g::VARCHAR)`` with a lateral
+    ``generate_series`` — see entry_queries.q_frame_sample)."""
     from ..session import ship_package
 
     ship_package(media.sparkSession)
@@ -107,9 +119,9 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             starts = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
             frame_idx = np.arange(total) - np.repeat(starts, n_frames)
             out_ts = (frame_idx * every_ms).astype(np.int32)
-            bases = [hashlib.md5(bytes(m)).digest() for m in vids["media"]]
+            bases = [hashlib.md5(bytes(m)).hexdigest() for m in vids["media"]]
             out_hash = [
-                hashlib.md5(bases[b] + int(i).to_bytes(4, "little")).hexdigest()
+                hashlib.md5(f"{bases[b]}:{int(i)}".encode()).hexdigest()
                 for b, i in zip(np.repeat(np.arange(len(bases)), n_frames), frame_idx)
             ]
             yield pd.DataFrame(

@@ -1,0 +1,125 @@
+"""Micro-batched concurrent BM25 serving (round-3 verdict item 2).
+
+Concurrent per-query serving is floor-bound: every query pays Spark's
+job-scheduling floor (~0.3-1 s), so 40 concurrent clients run 40 tiny
+jobs whose wall-clock barely improves with cores (measured 0.55-0.62
+scaling efficiency for two rounds). The batch scorer amortizes that
+floor 10-50× — this module puts it behind a CONCURRENT-CLIENT interface:
+
+Leader/follower micro-batching. The first thread to arrive on an empty
+queue becomes the LEADER: it waits up to ``window_ms`` for more arrivals
+(or until ``max_batch``), drains the queue, runs ONE
+``bm25_topk_batch`` Spark job for the deduplicated query set, and
+scatters per-query results to the waiting follower threads. The moment
+the leader drains the queue it also releases leadership, so requests
+arriving while a batch is in flight form the NEXT batch under a new
+leader — batches pipeline instead of convoying, and the effective batch
+size adapts to load (light load ≈ per-query latency + window; heavy
+load ≈ batch throughput).
+
+Latency trade, measured at the bench regime (300k docs, 19 buckets):
+a lone query pays +window_ms (default 50 ms) over the per-query path;
+at 40+ concurrent clients, throughput matches ``bm25_topk_batch``,
+which scales ≥0.8 N→4N (BENCH/BASELINE.md).
+
+Results are rank-identical to ``SearchIndex.bm25_topk`` for every query
+(same scorer, same (score desc, doc_id asc) tie order — tested in
+tests/test_round4.py)."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from .engine import SearchIndex
+
+
+class _Req:
+    __slots__ = ("q", "k", "event", "result", "error")
+
+    def __init__(self, q: str, k: int):
+        self.q = q
+        self.k = k
+        self.event = threading.Event()
+        self.result: list[tuple[int, float]] | None = None
+        self.error: BaseException | None = None
+
+
+class Bm25MicroBatcher:
+    """Thread-safe facade over ``SearchIndex.bm25_topk_batch`` for
+    concurrent per-query callers. One instance per index; ``query()`` is
+    called from any number of client threads."""
+
+    def __init__(self, si: SearchIndex, window_ms: float = 50.0,
+                 max_batch: int = 512):
+        self.si = si
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._cv = threading.Condition()
+        self._pending: list[_Req] = []
+        self._leader_active = False
+        # observability: exposed so tests/benches can assert coalescing
+        self.batches_run = 0
+        self.queries_served = 0
+
+    # ------------------------------------------------------------ client --
+    def query(self, q: str, k: int = 10) -> list[tuple[int, float]]:
+        """BM25 top-k for one query; blocks until its micro-batch lands.
+        Returns [(doc_id, score)] ordered by (score desc, doc_id asc)."""
+        req = _Req(q, k)
+        with self._cv:
+            self._pending.append(req)
+            if self._leader_active:
+                leader = False
+                if len(self._pending) >= self.max_batch:
+                    self._cv.notify_all()
+            else:
+                self._leader_active = True
+                leader = True
+        if leader:
+            self._lead()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # ------------------------------------------------------------ leader --
+    def _lead(self) -> None:
+        deadline = time.monotonic() + self.window
+        with self._cv:
+            while len(self._pending) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(remaining)
+            batch, self._pending = self._pending, []
+            # leadership ends at drain time: arrivals during the Spark job
+            # below elect a new leader and form the next (pipelined) batch
+            self._leader_active = False
+        try:
+            self._run_batch(batch)
+        except BaseException as ex:  # noqa: BLE001 — scattered to callers
+            for r in batch:
+                r.error = ex
+                r.event.set()
+            raise
+        finally:
+            for r in batch:
+                r.event.set()
+
+    def _run_batch(self, batch: list[_Req]) -> None:
+        uq = list(dict.fromkeys(r.q for r in batch))
+        kmax = max(r.k for r in batch)
+        qidx = {q: i for i, q in enumerate(uq)}
+        by_q: dict[int, list[tuple[int, float]]] = {}
+        for row in self.si.bm25_topk_batch(uq, kmax).collect():
+            by_q.setdefault(int(row["query_id"]), []).append(
+                (int(row["doc_id"]), float(row["score"]))
+            )
+        for hits in by_q.values():
+            hits.sort(key=lambda t: (-t[1], t[0]))
+        for r in batch:
+            r.result = by_q.get(qidx[r.q], [])[: r.k]
+            r.error = None
+        self.batches_run += 1
+        self.queries_served += len(batch)

@@ -53,6 +53,20 @@ class SearchService:
         self._server: ThreadingHTTPServer | None = None
         self._cache: OrderedDict[tuple, list] = OrderedDict()
         self._cache_lock = threading.Lock()
+        self._batchers: dict[str, object] = {}
+        self._batcher_lock = threading.Lock()
+
+    def _batcher(self, corpus: str):
+        """Per-corpus micro-batcher for the DISTRIBUTED bm25 path:
+        concurrent clients arriving within the window share ONE
+        bm25_topk_batch job instead of paying the per-query scheduling
+        floor each (query/microbatch.py — round-3 verdict item 2)."""
+        from .query.microbatch import Bm25MicroBatcher
+
+        with self._batcher_lock:
+            if corpus not in self._batchers:
+                self._batchers[corpus] = Bm25MicroBatcher(self.indexes[corpus])
+            return self._batchers[corpus]
 
     def _runs_version(self, corpus: str) -> tuple:
         """Cache-key component for NRT requests: the run ledger grows as
@@ -169,10 +183,16 @@ class SearchService:
                 return [
                     {"doc_id": d, "score": s, **amap.get(d, {})} for d, s in top
                 ]
-            hits = si.bm25_topk(q, k)
-            if attrs:
-                hits = si.with_doc_metadata(hits, attrs)
-            return [r.asDict() for r in hits.collect()]
+            # distributed path: micro-batched — concurrent requests in the
+            # same window coalesce into one bm25_topk_batch job
+            # (rank-identical to bm25_topk, tested)
+            top = self._batcher(corpus).query(q, k)
+            if not attrs:
+                return [{"doc_id": d, "score": s} for d, s in top]
+            amap = si.doc_attrs([d for d, _ in top], attrs)
+            return [
+                {"doc_id": d, "score": s, **amap.get(d, {})} for d, s in top
+            ]
 
         rows, hit = self._cached(("bm25", corpus, q, k, tuple(attrs)), compute)
         return {"size": len(rows), "rows": rows, "cached": hit,

@@ -328,10 +328,11 @@ def test_dup_clusters_planted_components(spark):
 
 @pytest.mark.spark
 def test_frame_sample_matches_python_golden(spark):
-    """media_frame_sample has no SQL oracle (DuckDB lacks crc32/blob-md5),
-    so pin it against a pure-Python recomputation instead."""
+    """media_frame_sample is value-oracled in SQL since round 4, but the
+    oracle reads md5(text) where Spark hashes the BINARY media column —
+    this Python golden additionally pins that the binary path (media :=
+    utf-8(text)) produces the same digests."""
     import hashlib
-    import zlib
 
     from gloomy_spark.ops import multimodal
 
@@ -343,14 +344,14 @@ def test_frame_sample_matches_python_golden(spark):
     }
     want = {}
     for r in docs.select("doc_id", "text").collect():
-        h = zlib.crc32(r["text"].encode())
+        base = hashlib.md5(r["text"].encode()).hexdigest()
+        h = int(base[:8], 16)
         if ["image/png", "audio/wav", "video/mp4"][h % 3] != "video/mp4":
             continue
         n = min(max(1, (h % 600000) // 1000), 32)
-        base = hashlib.md5(r["text"].encode()).digest()
         for i in range(n):
             want[(r["doc_id"], i * 1000)] = hashlib.md5(
-                base + i.to_bytes(4, "little")
+                f"{base}:{i}".encode()
             ).hexdigest()
     assert got == want and len(got) > 0
 

@@ -540,3 +540,136 @@ def test_service_nrt_bm25_and_streaming_cli(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["n_docs"] == 20  # the 20 streamed docs
     assert SearchIndex(spark, out_idx).terms.count() > 0
+
+
+# ----------------------------------------------------- micro-batched serving --
+
+
+@pytest.mark.spark
+def test_microbatcher_rank_identical_and_coalesced(small_index):
+    """Concurrent clients through Bm25MicroBatcher get results
+    rank-identical to per-query bm25_topk, and arrivals within the window
+    coalesce into far fewer Spark jobs than queries."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gloomy_spark.query.microbatch import Bm25MicroBatcher
+
+    si = small_index
+    base = ["the data", "and to", "that was", "scan the", "of in and",
+            "zzzz-no-such-term"]
+    qs = base * 3  # duplicates exercise in-batch dedup
+    mb = Bm25MicroBatcher(si, window_ms=150)
+    with ThreadPoolExecutor(max_workers=len(qs)) as ex:
+        got = list(ex.map(lambda q: mb.query(q, 5), qs))
+    for q, rows in zip(qs, got):
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in si.bm25_topk(q, 5).collect()
+        ]
+        assert [(d, round(s, 9)) for d, s in rows] == want, q
+    assert mb.queries_served == len(qs)
+    assert mb.batches_run <= 3, (
+        f"{mb.batches_run} batches for {len(qs)} concurrent queries — "
+        "window did not coalesce"
+    )
+
+
+@pytest.mark.spark
+def test_microbatcher_mixed_k_same_window(small_index):
+    """Requests with different k in one window each get exactly their k."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gloomy_spark.query.microbatch import Bm25MicroBatcher
+
+    si = small_index
+    mb = Bm25MicroBatcher(si, window_ms=150)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f3 = ex.submit(mb.query, "the data", 3)
+        f7 = ex.submit(mb.query, "the data", 7)
+        r3, r7 = f3.result(), f7.result()
+    assert len(r3) == 3 and len(r7) == 7
+    assert r7[:3] == r3
+    assert mb.batches_run == 1
+
+
+@pytest.mark.spark
+def test_service_distributed_path_microbatches(spark, tmp_path):
+    """SearchService /bm25 without a driver term map routes through the
+    per-corpus micro-batcher (and still matches bm25_topk)."""
+    import json as _json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.service import SearchService
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    idx = str(tmp_path / "svcidx")
+    docs = pages_df(spark, 80, partitions=4).select("doc_id", "text", "url")
+    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=1, url_col="url")
+
+    svc = SearchService(spark, {"main": idx})
+    si = svc.indexes["main"]
+    si._term_map = None  # force the distributed (non-driver-local) path
+    port = svc.start()
+    try:
+        qs = ["the%20data", "and%20to", "that%20was", "scan%20the"]
+
+        def get(q):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/bm25?corpus=main&q={q}&k=5"
+            ) as r:
+                return _json.loads(r.read())
+
+        with ThreadPoolExecutor(max_workers=len(qs)) as ex:
+            outs = list(ex.map(get, qs))
+        assert svc._batchers["main"].batches_run >= 1
+        for q, out in zip(qs, outs):
+            plain = q.replace("%20", " ")
+            want = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in si.bm25_topk(plain, 5).collect()
+            ]
+            assert [
+                (r["doc_id"], round(r["score"], 9)) for r in out["rows"]
+            ] == want
+    finally:
+        svc.stop()
+
+
+# ------------------------------------------------- violation-gated entries --
+
+
+@pytest.mark.spark
+def test_ann_and_pair_gates_empty_on_fixtures(spark):
+    """The r4 violation-gate entries (ann_lsh_gate / ann_ivf_gate /
+    embedding_near_pairs_gate) must return ZERO violations on the
+    deterministic fixtures — the exact property the DuckDB oracle pins."""
+    from gloomy_spark.entry_queries import registry
+
+    reg = registry()
+    for key in ("ann_lsh_gate", "ann_ivf_gate", "embedding_near_pairs_gate"):
+        fn, sql = reg[key]
+        assert sql is not None, f"{key} must be value-oracled"
+        rows = fn(spark, "/root/testdata/sf0.001").collect()
+        assert rows == [], f"{key} violations: {rows}"
+
+
+@pytest.mark.spark
+def test_ann_gate_catches_broken_scores(spark):
+    """_ann_gate is a real check: feed it rows with a corrupted score and
+    a fabricated vec_id — both must surface as violations."""
+    from pyspark.sql import Row
+
+    from gloomy_spark.entry_queries import _ann_gate
+    from gloomy_spark.ops import simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    good = simsearch.cosine_topk(emb, 0, 10).collect()
+    bad = [Row(vec_id=good[0]["vec_id"], cos_sim=good[0]["cos_sim"] + 0.5)] + good[1:]
+    v = {r["violation"] for r in _ann_gate(spark, "/root/testdata/sf0.001", 0, 10, bad, 0.3).collect()}
+    assert "score" in v
+    # perfect rows → no violations at all
+    v2 = _ann_gate(spark, "/root/testdata/sf0.001", 0, 10, good, 0.3).collect()
+    assert v2 == []
