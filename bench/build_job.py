@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--bucket-width", type=int, default=0,
                     help="doc_bucket_width override (0 = config default); "
                          "smaller widths emulate large-corpus bucket counts")
+    ap.add_argument("--conc-clients", type=int, default=400,
+                    help="concurrent clients for the micro-batched serving "
+                         "phase (each issues one query)")
+    ap.add_argument("--conc-window-ms", type=float, default=50.0,
+                    help="micro-batch coalescing window (latency/throughput "
+                         "trade: longer windows mean fewer, larger batches)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -105,18 +111,26 @@ def main() -> None:
                 for l in rng.integers(1, 5, size=n)
             ]
 
-        # concurrent serving model (micro-batched since round 4): 40
-        # client threads issue per-query requests through Bm25MicroBatcher
-        # — arrivals within the 50 ms window coalesce into ONE
-        # bm25_topk_batch job, so the scheduling floor amortizes and
-        # concurrent throughput tracks batch throughput instead of the
-        # per-job floor (which measured 0.55-0.62 N→4N for two rounds).
-        # DISTINCT Zipf queries (seed differs from the batch workload).
-        n_conc = min(args.queries, 200)
+        # concurrent serving model (micro-batched since round 4): N
+        # concurrent clients each issue ONE per-query request through
+        # Bm25MicroBatcher — arrivals within the 50 ms window coalesce
+        # into a handful of bm25_topk_batch jobs, so the per-job
+        # scheduling floor amortizes and concurrent throughput tracks
+        # batch throughput instead of the per-job floor (which measured
+        # 0.55-0.62 N→4N for two rounds). DISTINCT Zipf queries (seed
+        # differs from the batch workload). 400 clients: small client
+        # counts re-measure the per-batch fixed cost (pushdown scan +
+        # task dispatch), not scoring scaling — the same reason the
+        # batch protocol uses 1000 queries.
+        n_conc = min(args.queries, args.conc_clients)
         qs = zipf_queries(n_conc, seed=11)
-        mb = Bm25MicroBatcher(si)
+        mb = Bm25MicroBatcher(si, window_ms=args.conc_window_ms)
+        # untimed warmup: the first applyInPandas job pays python-worker
+        # spawn + codegen compile once per session — a serving process
+        # warms up once, so neither timed phase should carry it
+        si.bm25_topk_batch([qs[0]], 1).collect()
         tq = time.time()
-        with ThreadPoolExecutor(max_workers=40) as ex:
+        with ThreadPoolExecutor(max_workers=n_conc) as ex:
             list(ex.map(lambda q: mb.query(q, 10), qs))
         qsec = time.time() - tq
         n_conc_batches = mb.batches_run

@@ -63,6 +63,12 @@ def _build_parser() -> argparse.ArgumentParser:
         "serves /bm25?nrt=1 over uncompacted streaming runs",
     )
     sv.add_argument("--port", type=int, default=8090)
+    sv.add_argument(
+        "--batch-window-ms", type=float, default=50.0,
+        help="micro-batch window for concurrent /bm25 on the distributed "
+        "path: requests arriving within the window share one batch job "
+        "(0 still batches whatever has queued, with no added wait)",
+    )
 
     st = sub.add_parser("stats", help="index manifest + bucket ledger")
     st.add_argument("--index", required=True)
@@ -258,7 +264,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from .service import SearchService
 
         corpora = dict(c.split("=", 1) for c in args.corpus)
-        svc = SearchService(spark, corpora)
+        svc = SearchService(spark, corpora, batch_window_ms=args.batch_window_ms)
         port = svc.start(args.port)
         _emit({"listening": port, "corpora": sorted(corpora)})
         try:

@@ -6,21 +6,21 @@ jobs whose wall-clock barely improves with cores (measured 0.55-0.62
 scaling efficiency for two rounds). The batch scorer amortizes that
 floor 10-50× — this module puts it behind a CONCURRENT-CLIENT interface:
 
-Leader/follower micro-batching. The first thread to arrive on an empty
-queue becomes the LEADER: it waits up to ``window_ms`` for more arrivals
-(or until ``max_batch``), drains the queue, runs ONE
-``bm25_topk_batch`` Spark job for the deduplicated query set, and
-scatters per-query results to the waiting follower threads. The moment
-the leader drains the queue it also releases leadership, so requests
-arriving while a batch is in flight form the NEXT batch under a new
-leader — batches pipeline instead of convoying, and the effective batch
-size adapts to load (light load ≈ per-query latency + window; heavy
-load ≈ batch throughput).
+A dedicated batching thread drains the request queue: it wakes on the
+first arrival, waits up to ``window_ms`` for more (or until
+``max_batch``), runs ONE ``bm25_topk_batch`` Spark job for the
+deduplicated query set, and scatters per-query results to the waiting
+client threads. Batches are SERIALIZED through that single thread — the
+crucial backpressure property: while a batch's Spark job runs, every
+new arrival queues into the NEXT batch, so a burst of N clients
+produces O(1) large jobs instead of N/window overlapping small ones (a
+leader-per-window variant was measured launching 11 concurrent jobs
+for a 400-client burst at local[1], thrashing the single core; the
+serialized queue runs the same burst in 2-3 adaptive batches).
 
-Latency trade, measured at the bench regime (300k docs, 19 buckets):
-a lone query pays +window_ms (default 50 ms) over the per-query path;
-at 40+ concurrent clients, throughput matches ``bm25_topk_batch``,
-which scales ≥0.8 N→4N (BENCH/BASELINE.md).
+Latency trade: a lone query pays +window_ms (default 50 ms) over the
+per-query path; under concurrency, throughput tracks
+``bm25_topk_batch``, which scales ≥0.8 N→4N (BENCH/BASELINE.md).
 
 Results are rank-identical to ``SearchIndex.bm25_topk`` for every query
 (same scorer, same (score desc, doc_id asc) tie order — tested in
@@ -48,64 +48,72 @@ class _Req:
 class Bm25MicroBatcher:
     """Thread-safe facade over ``SearchIndex.bm25_topk_batch`` for
     concurrent per-query callers. One instance per index; ``query()`` is
-    called from any number of client threads."""
+    called from any number of client threads; one daemon thread runs the
+    batches."""
 
     def __init__(self, si: SearchIndex, window_ms: float = 50.0,
-                 max_batch: int = 512):
+                 max_batch: int = 4096):
         self.si = si
         self.window = window_ms / 1000.0
         self.max_batch = max_batch
         self._cv = threading.Condition()
         self._pending: list[_Req] = []
-        self._leader_active = False
+        self._closed = False
         # observability: exposed so tests/benches can assert coalescing
         self.batches_run = 0
         self.queries_served = 0
+        self._worker = threading.Thread(
+            target=self._loop, name="bm25-microbatch", daemon=True
+        )
+        self._worker.start()
 
     # ------------------------------------------------------------ client --
     def query(self, q: str, k: int = 10) -> list[tuple[int, float]]:
         """BM25 top-k for one query; blocks until its micro-batch lands.
         Returns [(doc_id, score)] ordered by (score desc, doc_id asc)."""
+        if self._closed:
+            raise RuntimeError("Bm25MicroBatcher is closed")
         req = _Req(q, k)
         with self._cv:
             self._pending.append(req)
-            if self._leader_active:
-                leader = False
-                if len(self._pending) >= self.max_batch:
-                    self._cv.notify_all()
-            else:
-                self._leader_active = True
-                leader = True
-        if leader:
-            self._lead()
+            self._cv.notify_all()
         req.event.wait()
         if req.error is not None:
             raise req.error
         return req.result
 
-    # ------------------------------------------------------------ leader --
-    def _lead(self) -> None:
-        deadline = time.monotonic() + self.window
+    def close(self) -> None:
+        """Stop the batching thread (pending requests still complete)."""
         with self._cv:
-            while len(self._pending) < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                self._cv.wait(remaining)
-            batch, self._pending = self._pending, []
-            # leadership ends at drain time: arrivals during the Spark job
-            # below elect a new leader and form the next (pipelined) batch
-            self._leader_active = False
-        try:
-            self._run_batch(batch)
-        except BaseException as ex:  # noqa: BLE001 — scattered to callers
-            for r in batch:
-                r.error = ex
-                r.event.set()
-            raise
-        finally:
-            for r in batch:
-                r.event.set()
+            self._closed = True
+            self._cv.notify_all()
+
+    # ------------------------------------------------------------ worker --
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if not self._pending and self._closed:
+                    return
+                # coalescing window, measured from the first arrival seen
+                deadline = time.monotonic() + self.window
+                while len(self._pending) < self.max_batch and not self._closed:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                batch, self._pending = self._pending, []
+            # the Spark job runs OUTSIDE the lock: arrivals during the job
+            # queue up and form the next (adaptively larger) batch
+            try:
+                self._run_batch(batch)
+            except BaseException as ex:  # noqa: BLE001 — scattered to callers
+                for r in batch:
+                    r.error = ex
+            finally:
+                for r in batch:
+                    r.event.set()
 
     def _run_batch(self, batch: list[_Req]) -> None:
         uq = list(dict.fromkeys(r.q for r in batch))

@@ -37,12 +37,16 @@ class SearchService:
     # never go stale; the LRU bounds driver memory
     CACHE_SIZE = 256
 
-    def __init__(self, spark: SparkSession, corpora: dict[str, str]):
+    def __init__(self, spark: SparkSession, corpora: dict[str, str],
+                 batch_window_ms: float = 50.0):
         """corpora: name → index_dir, or name → "index_dir@runs_dir" to
         also serve NEAR-REAL-TIME results over the streaming ingestion's
         uncompacted posting runs (`/bm25?...&nrt=1` → base ⊎ runs, exact
-        vs a full rebuild — streaming/nrt.py)."""
+        vs a full rebuild — streaming/nrt.py). batch_window_ms: the
+        micro-batch coalescing window for concurrent /bm25 requests on
+        the distributed path (query/microbatch.py)."""
         self.spark = spark
+        self.batch_window_ms = batch_window_ms
         self.indexes: dict[str, SearchIndex] = {}
         self.runs_dirs: dict[str, str] = {}
         for name, spec in corpora.items():
@@ -65,7 +69,9 @@ class SearchService:
 
         with self._batcher_lock:
             if corpus not in self._batchers:
-                self._batchers[corpus] = Bm25MicroBatcher(self.indexes[corpus])
+                self._batchers[corpus] = Bm25MicroBatcher(
+                    self.indexes[corpus], window_ms=self.batch_window_ms
+                )
             return self._batchers[corpus]
 
     def _runs_version(self, corpus: str) -> tuple:
