@@ -15,12 +15,34 @@ import sys
 from collections import defaultdict
 
 
+def _open_log(path):
+    """Accept a plain event-log file, a rolling eventlog_v2 directory, or
+    a .zstd-compressed segment (Spark 4 default; decompressed via
+    pyarrow's bundled zstd — the container has no zstd CLI/module)."""
+    import glob
+    import io
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "events_*")))
+        if not parts:
+            raise FileNotFoundError(f"no events_* in {path}")
+        path = parts[-1]
+    if path.endswith(".zstd"):
+        import pyarrow as pa
+
+        return io.TextIOWrapper(
+            pa.input_stream(path, compression="zstd"), encoding="utf-8"
+        )
+    return open(path)
+
+
 def main() -> None:
     path = sys.argv[1]
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     stages: dict[tuple, dict] = {}
     tasks = defaultdict(lambda: defaultdict(float))
-    with open(path) as f:
+    with _open_log(path) as f:
         for line in f:
             try:
                 ev = json.loads(line)

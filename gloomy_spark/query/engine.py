@@ -964,8 +964,17 @@ class SearchIndex:
         # manufactures a straggler. A user repartition with an explicit
         # partition count is exempt from AQE coalescing, and the groupBy
         # reuses its hash partitioning (no extra exchange in the plan).
+        # grouped-map python tasks are not free: ~90 ms/partition of
+        # arrow/worker protocol overhead each, measured at local[1] (a
+        # 1-query warm batch: 6.6 s at 64 partitions vs 2.1 s at 8 —
+        # BENCH/BASELINE.md). Never schedule more scorer partitions than
+        # 2× the scoring groups (hash-collision headroom, the documented
+        # straggler guard) or 2× the executor slots, whichever is larger;
+        # at web scale (~10^6 buckets) the cap never binds and the
+        # configured shuffle_partitions wins.
+        sp_eff = min(sp, max(2 * nb * Q, 2 * cores)) if nb else sp
         per = (
-            cand.repartition(sp, "doc_bucket", "qgrp")
+            cand.repartition(sp_eff, "doc_bucket", "qgrp")
             .groupBy("doc_bucket", "qgrp")
             .applyInPandas(score_bucket, "query_id int, " + TOPK_SCHEMA)
         )
