@@ -673,3 +673,38 @@ def test_ann_gate_catches_broken_scores(spark):
     # perfect rows → no violations at all
     v2 = _ann_gate(spark, "/root/testdata/sf0.001", 0, 10, good, 0.3).collect()
     assert v2 == []
+
+
+@pytest.mark.spark
+def test_batch_scorer_partition_cap(small_index, spark):
+    """The scorer's explicit repartition is capped at max(2×groups,
+    2×cores): grouped-map python tasks cost ~90 ms each even when empty,
+    so scheduling shuffle.partitions-many tasks for a handful of scoring
+    groups multiplies fixed latency (BENCH/BASELINE.md r4). With a small
+    bucket count the plan's scorer exchange must use the capped count,
+    not the session's shuffle.partitions."""
+    import re
+
+    si = small_index
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        df = si.bm25_topk_batch(["the data", "of the"], 5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the python-scorer exchange partitions by doc_bucket; the later
+        # per-query top-k window exchange (JVM-side, cheap tasks) is
+        # allowed to keep the session's shuffle.partitions
+        counts = [
+            int(n)
+            for n in re.findall(
+                r"Exchange hashpartitioning\(doc_bucket[^)]*, (\d+)\)", plan
+            )
+        ]
+        assert counts, plan
+        cores = spark.sparkContext.defaultParallelism
+        nb = si._n_doc_buckets
+        cap = max(2 * nb * 8, 2 * cores)  # Q ≤ 8 upper bound
+        assert all(c <= cap for c in counts), (counts, cap, plan)
+        assert all(c < 200 for c in counts), (counts, plan)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
