@@ -968,11 +968,13 @@ class SearchIndex:
         # arrow/worker protocol overhead each, measured at local[1] (a
         # 1-query warm batch: 6.6 s at 64 partitions vs 2.1 s at 8 —
         # BENCH/BASELINE.md). Never schedule more scorer partitions than
-        # 2× the scoring groups (hash-collision headroom, the documented
-        # straggler guard) or 2× the executor slots, whichever is larger;
-        # at web scale (~10^6 buckets) the cap never binds and the
+        # 2× the scoring groups: partitions beyond nb×Q are empty BY
+        # CONSTRUCTION (there is nothing else to hash there), so they
+        # buy no parallelism, only protocol overhead; the 2× is the
+        # hash-collision headroom of the documented straggler guard. At
+        # web scale (~10^6 buckets) the cap never binds and the
         # configured shuffle_partitions wins.
-        sp_eff = min(sp, max(2 * nb * Q, 2 * cores)) if nb else sp
+        sp_eff = min(sp, 2 * nb * Q) if nb else sp
         per = (
             cand.repartition(sp_eff, "doc_bucket", "qgrp")
             .groupBy("doc_bucket", "qgrp")
