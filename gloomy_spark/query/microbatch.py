@@ -59,6 +59,7 @@ class Bm25MicroBatcher:
         self._cv = threading.Condition()
         self._pending: list[_Req] = []
         self._closed = False
+        self._last_arrival = 0.0
         # observability: exposed so tests/benches can assert coalescing
         self.batches_run = 0
         self.queries_served = 0
@@ -71,11 +72,15 @@ class Bm25MicroBatcher:
     def query(self, q: str, k: int = 10) -> list[tuple[int, float]]:
         """BM25 top-k for one query; blocks until its micro-batch lands.
         Returns [(doc_id, score)] ordered by (score desc, doc_id asc)."""
-        if self._closed:
-            raise RuntimeError("Bm25MicroBatcher is closed")
         req = _Req(q, k)
         with self._cv:
+            # checked under the lock: a request enqueued after close()
+            # would never be drained (the worker exits once the queue is
+            # empty and closed), so it must be rejected here instead
+            if self._closed:
+                raise RuntimeError("Bm25MicroBatcher is closed")
             self._pending.append(req)
+            self._last_arrival = time.monotonic()
             self._cv.notify_all()
         req.event.wait()
         if req.error is not None:
@@ -96,10 +101,22 @@ class Bm25MicroBatcher:
                     self._cv.wait()
                 if not self._pending and self._closed:
                     return
-                # coalescing window, measured from the first arrival seen
-                deadline = time.monotonic() + self.window
+                # Coalescing window with burst detection (Nagle-style):
+                # the base deadline is first-arrival + window, but while
+                # requests KEEP arriving (gap < window/5) the deadline
+                # follows them, capped at 4× the window — a burst of N
+                # clients whose threads take >window to all enqueue (the
+                # measured reason a 400-client burst split into 2
+                # batches) still lands in ONE batch, while a lone query
+                # never waits more than the base window.
+                start = time.monotonic()
+                deadline = start + self.window
+                hard = start + 4.0 * self.window
+                gap = self.window / 5.0
                 while len(self._pending) < self.max_batch and not self._closed:
-                    remaining = deadline - time.monotonic()
+                    now = time.monotonic()
+                    eff = min(max(deadline, self._last_arrival + gap), hard)
+                    remaining = eff - now
                     if remaining <= 0:
                         break
                     self._cv.wait(remaining)
