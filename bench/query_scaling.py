@@ -141,7 +141,31 @@ def main() -> None:
             (small["query_sec_total"] / big["query_sec_total"]) / 4.0, 3
         ),
     }
-    with open(os.path.join(REPO, "BENCH", "query_scaling.json"), "w") as f:
+    # epoch history: the shared host drifts ±75% intra-day, so single
+    # runs are not comparable — every run appends its predecessor's
+    # headline to a rolling history instead of silently overwriting it
+    out_path = os.path.join(REPO, "BENCH", "query_scaling.json")
+    history = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            history = prev.get("epoch_history", [])
+            history.append({
+                k: prev.get(k)
+                for k in (
+                    "batch_query_scaling_efficiency",
+                    "batch_query_sec_n", "batch_query_sec_4n",
+                    "concurrent_query_scaling_efficiency",
+                    "concurrent_query_sec_n", "concurrent_query_sec_4n",
+                    "concurrent_microbatches_n",
+                )
+            })
+            history = history[-12:]
+        except (OSError, json.JSONDecodeError):
+            pass
+    result["epoch_history"] = history
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
     if not reused:
