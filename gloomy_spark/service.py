@@ -275,3 +275,7 @@ class SearchService:
         if self._server:
             self._server.shutdown()
             self._server = None
+        with self._batcher_lock:
+            for b in self._batchers.values():
+                b.close()  # releases each corpus's batching thread
+            self._batchers.clear()
