@@ -708,3 +708,38 @@ def test_batch_scorer_partition_cap(small_index, spark):
         assert all(c < 200 for c in counts), (counts, plan)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.spark
+def test_microbatcher_survives_batch_failure(small_index):
+    """A failing batch job propagates its error to that batch's callers
+    and the worker keeps serving: the NEXT batch succeeds."""
+    from gloomy_spark.query.microbatch import Bm25MicroBatcher
+
+    si = small_index
+    mb = Bm25MicroBatcher(si, window_ms=30)
+    real = si.bm25_topk_batch
+    calls = {"n": 0}
+
+    def flaky(queries, k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected batch failure")
+        return real(queries, k)
+
+    si.bm25_topk_batch = flaky
+    try:
+        with pytest.raises(RuntimeError, match="injected batch failure"):
+            mb.query("the data", 5)
+        got = mb.query("the data", 5)
+    finally:
+        si.bm25_topk_batch = real
+    want = sorted(
+        ((r["doc_id"], round(r["score"], 9)) for r in real(["the data"], 5).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [(d, round(s, 9)) for d, s in got] == want
+    # close() rejects new work but releases the thread cleanly
+    mb.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.query("x", 1)
