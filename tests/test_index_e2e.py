@@ -161,3 +161,51 @@ def test_cached_dictionary_fast_path_identical(built):
         a = [(r.doc_id, round(r.score, 9)) for r in index.bm25_topk(q, 10).collect()]
         b = [(r.doc_id, round(r.score, 9)) for r in cached.bm25_topk(q, 10).collect()]
         assert a == b, q
+
+
+@pytest.mark.spark
+def test_bm25_random_query_fuzz_all_paths(built):
+    """Seeded random-workload differential fuzz: 100 queries of 1-6 terms
+    sampled from the REAL vocabulary (15% replaced by unknown tokens,
+    duplicates allowed) must be rank-identical and score-equal (1e-9)
+    against the exhaustive python oracle on BOTH throughput paths — the
+    batch scorer (one job for all 100) and driver-local serve — plus a
+    spot-check of the per-query block-max path. Random workloads reach
+    tie-break, absent-term, and repeated-term corners the curated QUERIES
+    list cannot."""
+    import random
+
+    index, oracle, _ = built
+    index.cache()  # bm25_serve needs the driver term map (idempotent)
+    rng = random.Random(99)
+    vocab = sorted(oracle.tf)
+    queries = []
+    for _ in range(100):
+        n = rng.randint(1, 6)
+        toks = [
+            rng.choice(vocab) if rng.random() > 0.15 else f"zz{rng.randint(0, 9)}q"
+            for _ in range(n)
+        ]
+        queries.append(" ".join(toks))
+
+    def check(got, q):
+        want = oracle.bm25_topk(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, abs=1e-9), q
+
+    # ONE batch job scores the whole workload
+    by_q: dict[int, list] = {}
+    for r in index.bm25_topk_batch(queries, 10).collect():
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["doc_id"]), float(r["score"]))
+        )
+    for qi, q in enumerate(queries):
+        got = sorted(by_q.get(qi, []), key=lambda t: (-t[1], t[0]))
+        check(got, q)
+        check(index.bm25_serve(q, 10), q)
+    for q in rng.sample(queries, 8):
+        got = [
+            (r["doc_id"], r["score"]) for r in index.bm25_topk(q, 10).collect()
+        ]
+        check(got, q)
