@@ -209,3 +209,66 @@ def test_bm25_random_query_fuzz_all_paths(built):
             (r["doc_id"], r["score"]) for r in index.bm25_topk(q, 10).collect()
         ]
         check(got, q)
+
+
+@pytest.mark.spark
+def test_phrase_random_fuzz(built):
+    """Seeded phrase fuzz vs an exhaustive positions oracle: 40 phrases —
+    30 REAL n-grams lifted from random corpus positions (guaranteed ≥1
+    match, exercising adjacency verification) + 10 random token combos
+    (mostly absent, exercising the empty doc-set short-circuit). A doc
+    matches [t0..tn] iff some p has p+i ∈ positions(ti, doc) for all i."""
+    import random
+
+    index, oracle, _ = built
+    rng = random.Random(123)
+    doc_tokens: dict[int, list[str]] = {}
+    for t, by_doc in oracle.positions.items():
+        for d, ps in by_doc.items():
+            for p in ps:
+                doc_tokens.setdefault(d, [])
+    # rebuild per-doc token sequences from the oracle's positions
+    for t, by_doc in oracle.positions.items():
+        for d, ps in by_doc.items():
+            seq = doc_tokens[d]
+            for p in ps:
+                while len(seq) <= p:
+                    seq.append(None)
+                seq[p] = t
+
+    docs = sorted(doc_tokens)
+    phrases = []
+    while len(phrases) < 30:
+        d = rng.choice(docs)
+        seq = doc_tokens[d]
+        if len(seq) < 4:
+            continue
+        i = rng.randrange(0, len(seq) - 3)
+        n = rng.randint(2, 4)
+        toks = seq[i:i + n]
+        if any(t is None for t in toks):
+            continue
+        phrases.append(" ".join(toks))
+    vocab = sorted(oracle.tf)
+    for _ in range(10):
+        phrases.append(" ".join(rng.choice(vocab) for _ in range(rng.randint(2, 3))))
+
+    def oracle_phrase(toks: list[str]) -> set[int]:
+        if any(t not in oracle.positions for t in toks):
+            return set()
+        out = set()
+        first = oracle.positions[toks[0]]
+        for d, ps in first.items():
+            if all(d in oracle.positions[t] for t in toks[1:]):
+                later = [set(oracle.positions[t][d]) for t in toks[1:]]
+                if any(all(p + i + 1 in s for i, s in enumerate(later)) for p in ps):
+                    out.add(d)
+        return out
+
+    n_nonempty = 0
+    for ph in phrases:
+        got = {r["doc_id"] for r in index.phrase_match(ph).collect()}
+        want = oracle_phrase(ph.split(" "))
+        assert got == want, ph
+        n_nonempty += bool(want)
+    assert n_nonempty >= 30  # the lifted n-grams really matched
