@@ -209,6 +209,9 @@ class SearchIndex:
         self._term_map: dict[str, tuple[int, float]] | None = None
         self._term_df: dict[str, int] = {}
         self._n_doc_buckets: int | None = None
+        # perfect scorer-partitioning state (see _perfect_scorer_partitioning)
+        self._bucket_values: list[int] | None = None
+        self._scorer_salt_cache: dict[int, object] = {}
         # decoded-postings LRU for the driver-local serving fast path (the
         # analog of the reference preloading col0 into RAM, index.go:502-504).
         # Served from ThreadingHTTPServer threads, so all lookup/insert/
@@ -780,6 +783,67 @@ class SearchIndex:
         top = _topk_df(uniq, tot, k)
         return list(zip(top["doc_id"].tolist(), top["score"].tolist()))
 
+    def _perfect_scorer_partitioning(self, Q: int):
+        """One shuffle partition per scoring group, exactly.
+
+        With hash partitioning, 2×groups partitions still double-pack
+        some group with ~99% probability at 19 groups (birthday bound:
+        P(no collision) ≈ e^(−g²/2n)) — a structural 2-wave straggler
+        the multi-core run pays every batch. The index is write-once and
+        its doc_bucket values are known, so for small group counts we
+        can do better than probabilistic placement: greedily pick a salt
+        per (doc_bucket, qgrp) such that Spark's own shuffle hash
+        (murmur3, seed 42 — exactly ``F.hash``) maps every group to a
+        DISTINCT partition mod g. One tiny driver-side job evaluates the
+        candidate hashes (g×8g rows); the result is cached per (index,
+        Q) forever.
+
+        Returns (n_partitions, [(doc_bucket, qgrp, psalt), ...]) or None
+        when it doesn't apply: uncached index, nb×Q > 64 (at that width
+        per-task overhead amortizes and hash balance is fine), or the
+        greedy search exhausts its salt budget (never observed; kept as
+        a loud-free fallback to the capped hash path)."""
+        import os
+
+        nb = self._n_doc_buckets
+        if not nb or nb * Q > 64:
+            return None
+        if os.environ.get("GLOOMY_PERFECT_PARTITIONING", "1") == "0":
+            return None  # measurement escape hatch (bench A/B)
+        cached = self._scorer_salt_cache.get(Q)
+        if cached is not None:
+            return cached or None  # False = previously gave up
+        if self._bucket_values is None:
+            self._bucket_values = sorted(
+                int(r["doc_bucket"])
+                for r in self.segments.select("doc_bucket").distinct().collect()
+            )
+        groups = [(b, q) for b in self._bucket_values for q in range(Q)]
+        g = len(groups)
+        n_salts = 8 * g
+        rows = [(b, q, s) for (b, q) in groups for s in range(n_salts)]
+        hv = {
+            (r["doc_bucket"], r["qgrp"], r["psalt"]): int(r["h"])
+            for r in self.spark.createDataFrame(
+                rows, "doc_bucket long, qgrp int, psalt int"
+            )
+            .withColumn("h", F.hash("doc_bucket", "qgrp", "psalt"))
+            .collect()
+        }
+        used: set[int] = set()
+        salt_rows: list[tuple[int, int, int]] = []
+        for b, q in groups:
+            for s in range(n_salts):
+                if hv[(b, q, s)] % g not in used:
+                    used.add(hv[(b, q, s)] % g)
+                    salt_rows.append((b, q, s))
+                    break
+            else:
+                self._scorer_salt_cache[Q] = False
+                return None
+        self._scorer_salt_cache[Q] = (g, salt_rows)
+        return self._scorer_salt_cache[Q]
+
     def bm25_topk_batch(
         self, queries: list[str], k: int = 10, use_blockmax: bool = True
     ) -> DataFrame:
@@ -967,19 +1031,33 @@ class SearchIndex:
         # grouped-map python tasks are not free: ~90 ms/partition of
         # arrow/worker protocol overhead each, measured at local[1] (a
         # 1-query warm batch: 6.6 s at 64 partitions vs 2.1 s at 8 —
-        # BENCH/BASELINE.md). Never schedule more scorer partitions than
-        # 2× the scoring groups: partitions beyond nb×Q are empty BY
-        # CONSTRUCTION (there is nothing else to hash there), so they
-        # buy no parallelism, only protocol overhead; the 2× is the
-        # hash-collision headroom of the documented straggler guard. At
-        # web scale (~10^6 buckets) the cap never binds and the
-        # configured shuffle_partitions wins.
-        sp_eff = min(sp, 2 * nb * Q) if nb else sp
-        per = (
-            cand.repartition(sp_eff, "doc_bucket", "qgrp")
-            .groupBy("doc_bucket", "qgrp")
-            .applyInPandas(score_bucket, "query_id int, " + TOPK_SCHEMA)
-        )
+        # BENCH/BASELINE.md). Small bucket counts therefore get PERFECT
+        # partitioning (one partition per scoring group via precomputed
+        # salts — no empty partitions AND no double-packed straggler);
+        # otherwise cap at 2× the scoring groups: partitions beyond nb×Q
+        # are empty BY CONSTRUCTION (nothing else hashes there), so they
+        # buy no parallelism, only protocol overhead. At web scale
+        # (~10^6 buckets) neither path binds and the configured
+        # shuffle_partitions wins.
+        perfect = self._perfect_scorer_partitioning(Q)
+        if perfect:
+            n_parts, salt_rows = perfect
+            sdim = self.spark.createDataFrame(
+                salt_rows, "doc_bucket long, qgrp int, psalt int"
+            )
+            per = (
+                cand.join(F.broadcast(sdim), ["doc_bucket", "qgrp"])
+                .repartition(n_parts, "doc_bucket", "qgrp", "psalt")
+                .groupBy("doc_bucket", "qgrp", "psalt")
+                .applyInPandas(score_bucket, "query_id int, " + TOPK_SCHEMA)
+            )
+        else:
+            sp_eff = min(sp, 2 * nb * Q) if nb else sp
+            per = (
+                cand.repartition(sp_eff, "doc_bucket", "qgrp")
+                .groupBy("doc_bucket", "qgrp")
+                .applyInPandas(score_bucket, "query_id int, " + TOPK_SCHEMA)
+            )
 
         # A driver-side final merge (takeOrdered pattern: Arrow toPandas of
         # the ≤ buckets×queries×k per-bucket top-k rows + numpy lexsort)

@@ -743,3 +743,24 @@ def test_microbatcher_survives_batch_failure(small_index):
     mb.close()
     with pytest.raises(RuntimeError, match="closed"):
         mb.query("x", 1)
+
+
+@pytest.mark.spark
+def test_perfect_scorer_partitioning_is_injective(small_index, spark):
+    """For small group counts the batch scorer places each scoring group
+    in its OWN shuffle partition: the salt search must return one row per
+    (doc_bucket, qgrp) whose spark-hash mod n_partitions is a bijection,
+    and the batch result must be unchanged."""
+    si = small_index
+    for Q in (1, 2):
+        got = si._perfect_scorer_partitioning(Q)
+        assert got, f"perfect partitioning should engage at nb={si._n_doc_buckets}, Q={Q}"
+        n_parts, salt_rows = got
+        assert n_parts == si._n_doc_buckets * Q == len(salt_rows)
+        df = spark.createDataFrame(
+            salt_rows, "doc_bucket long, qgrp int, psalt int"
+        ).withColumn("h", F.hash("doc_bucket", "qgrp", "psalt"))
+        slots = [int(r["h"]) % n_parts for r in df.collect()]
+        assert len(set(slots)) == n_parts, "slot collision — not a bijection"
+    # cached second call returns the identical object
+    assert si._perfect_scorer_partitioning(1) is si._perfect_scorer_partitioning(1)
