@@ -110,9 +110,13 @@ class Bm25MicroBatcher:
                 # batches) still lands in ONE batch, while a lone query
                 # never waits more than the base window.
                 start = time.monotonic()
-                deadline = start + self.window
-                hard = start + 4.0 * self.window
                 gap = self.window / 5.0
+                # a queue that formed while the PREVIOUS batch ran has
+                # already aged past the window — drain it immediately
+                # instead of idling another window on top
+                aged = self._pending and self._last_arrival + gap <= start
+                deadline = start if aged else start + self.window
+                hard = start + 4.0 * self.window
                 while len(self._pending) < self.max_batch and not self._closed:
                     now = time.monotonic()
                     eff = min(max(deadline, self._last_arrival + gap), hard)
