@@ -272,3 +272,38 @@ def test_phrase_random_fuzz(built):
         assert got == want, ph
         n_nonempty += bool(want)
     assert n_nonempty >= 30  # the lifted n-grams really matched
+
+
+@pytest.mark.spark
+def test_term_search_random_fuzz(built):
+    """Seeded prefix + restricted-regex fuzz vs python re over the oracle
+    vocabulary: 30 random prefixes (drawn from real term heads, some
+    missing) and 20 random character-class patterns must select exactly
+    the same term sets."""
+    import random
+    import re
+
+    index, oracle, _ = built
+    rng = random.Random(7)
+    vocab = sorted(oracle.tf)
+
+    for _ in range(30):
+        t = rng.choice(vocab)
+        p = t[: rng.randint(1, min(4, len(t)))]
+        if rng.random() < 0.2:
+            p = p + "zq"  # likely-missing prefix
+        want = {t for t in vocab if t.startswith(p)}
+        got = {r["term"] for r in index.search_prefix(p + "*").collect()}
+        assert got == want, p
+
+    for _ in range(20):
+        t = rng.choice(vocab)
+        if len(t) < 3:
+            continue
+        i = rng.randrange(0, len(t) - 1)
+        alt = rng.choice("abcdefgh")
+        pat = t[:i] + f"[{t[i]}{alt}]" + t[i + 1:]
+        want = {v for v in vocab if re.fullmatch(pat, v)}
+        got = {r["term"] for r in index.search_regexp(pat).collect()}
+        assert got == want, pat
+        assert t in got  # the seed term always matches its own pattern
