@@ -112,6 +112,11 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8)
     if raw.size == 0:
         return np.zeros(0, dtype=np.uint64)
+    if count is not None and raw.size == count:
+        # every value fits one byte (doc-gap deltas and tfs usually do) —
+        # skip the grouping pipeline entirely; high bit can't be set when
+        # byte count == value count, so the payload IS the value
+        return raw.astype(np.uint64)
     is_term = (raw & 0x80) == 0
     # group index per byte: 0-based id of the varint each byte belongs to
     starts = np.concatenate(([0], np.nonzero(is_term)[0][:-1] + 1))
@@ -213,7 +218,11 @@ def decode_posting_blocks_bulk(
     cumsum. At block_size=128 this amortizes numpy call overhead ~30×
     versus per-block decode_posting_block — the difference between a
     scorer bound by decode math and one bound by library call dispatch.
-    Blocks must belong to one term in doc order (the on-disk layout)."""
+    Blocks may span MULTIPLE terms (each term's blocks contiguous, docs
+    in order within a term — the on-disk layout): every block stores its
+    first docID absolute, so the per-block delta reset needs no term
+    boundary handling. The batch scorer exploits this to decode a whole
+    task's terms in one call."""
     counts = np.asarray(counts, dtype=np.int64)
     total = int(counts.sum())
     if total == 0:

@@ -182,9 +182,16 @@ def _bucket_scorer(p: _Bm25Params):
     return score
 
 
-def _topk_df(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+def _topk_arrays(
+    docs: np.ndarray, scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k as numpy arrays (score desc, doc_id asc). The batch scorer
+    calls this per (term-set × bucket) group — constructing a pandas
+    frame per group cost 7.5 s of a 23 s scoring pass at 1000 queries ×
+    19 buckets (profiled), so frame construction happens ONCE per task,
+    never per group."""
     if len(docs) == 0:
-        return pd.DataFrame({"doc_id": [], "score": []})
+        return docs.astype(np.int64), scores
     if len(docs) > max(4 * k, 4096):
         # O(n) prefilter: keep everything ≥ the kth score (ties included,
         # so the lexsort below still breaks them exactly), then sort the
@@ -194,7 +201,12 @@ def _topk_df(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
         docs, scores = docs[keep], scores[keep]
     # score desc, doc_id asc tie-break
     order = np.lexsort((docs, -scores))[:k]
-    return pd.DataFrame({"doc_id": docs[order].astype(np.int64), "score": scores[order]})
+    return docs[order].astype(np.int64), scores[order]
+
+
+def _topk_df(docs: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    d, s = _topk_arrays(docs, scores, k)
+    return pd.DataFrame({"doc_id": d, "score": s})
 
 
 class SearchIndex:
@@ -928,32 +940,51 @@ class SearchIndex:
             by_term: dict[int, list[int]] = {}
             for i, t in enumerate(tids.tolist()):
                 by_term.setdefault(t, []).append(i)
-            scored: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+            # ONE bulk decode for ALL of this task's needed terms (each
+            # block stores its first docID absolute, so the segmented
+            # delta reconstruction is per-block and term boundaries need
+            # no special handling), then ONE vectorized BM25 pass with
+            # the per-term idf repeated across term spans. Per-TERM
+            # decode was numpy-call-dispatch bound: ~100k varint_decode
+            # calls / 8.3 s for 1000 Zipf queries × 19 buckets, most on
+            # tail terms far below vectorization break-even (profiled —
+            # BENCH/BASELINE.md).
+            needed = sorted(
+                {t for ts in my_q_terms.values() for t in ts} & by_term.keys()
+            )
+            bufs_d: list = []
+            bufs_t: list = []
+            bufs_l: list = []
+            cnts: list[int] = []
+            spans: dict[int, tuple[int, int]] = {}
+            p = 0
+            for t in needed:
+                rows = by_term[t]
+                bufs_d += [docs_a[i] for i in rows]
+                bufs_t += [tfs_a[i] for i in rows]
+                bufs_l += [dls_a[i] for i in rows]
+                c = [int(nd_a[i]) for i in rows]
+                cnts += c
+                n = sum(c)
+                spans[t] = (p, p + n)
+                p += n
+            if needed:
+                D, TF, DL = decode_posting_blocks_bulk(bufs_d, bufs_t, bufs_l, cnts)
+                idf_rep = np.repeat(
+                    np.array([idf_by_tid[t] for t in needed]),
+                    np.array([spans[t][1] - spans[t][0] for t in needed]),
+                )
+                S = idf_rep * (TF * (k1 + 1.0)) / (
+                    TF + k1 * (1.0 - b + b * (DL / avgdl))
+                )
+            _empty = (np.array([], np.int64), np.array([], np.float64))
 
             def term_postings(tid: int):
-                if tid not in scored:
-                    rows = by_term.get(tid, ())  # absent term → empty
-                    if not rows:
-                        scored[tid] = (
-                            np.array([], np.int64),
-                            np.array([], np.float64),
-                        )
-                    else:
-                        # ONE bulk decode for all of the term's blocks
-                        # (segmented-cumsum delta reconstruction) —
-                        # per-block decode is numpy-call-dispatch bound
-                        d, tf, dl = decode_posting_blocks_bulk(
-                            [docs_a[i] for i in rows],
-                            [tfs_a[i] for i in rows],
-                            [dls_a[i] for i in rows],
-                            [int(nd_a[i]) for i in rows],
-                        )
-                        idf = idf_by_tid[tid]
-                        s = idf * (tf * (k1 + 1.0)) / (
-                            tf + k1 * (1.0 - b + b * (dl / avgdl))
-                        )
-                        scored[tid] = (d, s)
-                return scored[tid]
+                span = spans.get(tid)
+                if span is None:  # absent term → empty
+                    return _empty
+                return D[span[0]:span[1]], S[span[0]:span[1]]
 
             # doc_bucket = doc_id // width bounds this bucket's doc span,
             # so per-query aggregation can be a DENSE bincount over
@@ -974,10 +1005,21 @@ class SearchIndex:
             for qi, terms in my_q_terms.items():
                 tset_groups.setdefault(tuple(sorted(set(terms))), []).append(qi)
 
-            frames = []
+            out_qid: list[np.ndarray] = []
+            out_doc: list[np.ndarray] = []
+            out_score: list[np.ndarray] = []
             for tset, qis in tset_groups.items():
                 parts = [term_postings(t) for t in tset]
-                if dense:
+                if len(parts) == 1:
+                    # single-term query group: doc_ids are already unique
+                    # within a term, so the aggregation pass (bincount +
+                    # nonzero over the bucket span, ~2.3 s/1000 queries
+                    # profiled) is a no-op — rank the postings directly
+                    d, s = parts[0]
+                    if len(d) == 0:
+                        continue
+                    td, ts_ = _topk_arrays(d, s, k)
+                elif dense:
                     acc = None
                     for d, s in parts:
                         if len(d) == 0:
@@ -989,7 +1031,7 @@ class SearchIndex:
                     nz = np.nonzero(acc)[0]
                     if len(nz) == 0:
                         continue
-                    top = _topk_df(nz + np.int64(base), acc[nz], k)
+                    td, ts_ = _topk_arrays(nz + np.int64(base), acc[nz], k)
                 else:
                     docs = np.concatenate([p[0] for p in parts])
                     if len(docs) == 0:
@@ -998,16 +1040,25 @@ class SearchIndex:
                     uniq, inv = np.unique(docs, return_inverse=True)
                     tot = np.zeros(len(uniq))
                     np.add.at(tot, inv, scores)
-                    top = _topk_df(uniq, tot, k)
+                    td, ts_ = _topk_arrays(uniq, tot, k)
+                # numpy accumulation only — ONE pandas frame per task at
+                # the end (a frame per group × per query measured 7.5 s /
+                # 23 s scoring pass; see _topk_arrays)
                 for qi in qis:
-                    f = top.copy()
-                    f.insert(0, "query_id", np.int32(qi))
-                    frames.append(f)
-            if not frames:
+                    out_qid.append(np.full(len(td), qi, np.int32))
+                    out_doc.append(td)
+                    out_score.append(ts_)
+            if not out_qid:
                 return pd.DataFrame(
                     {"query_id": [], "doc_id": [], "score": []}
                 )
-            return pd.concat(frames, ignore_index=True)
+            return pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_qid),
+                    "doc_id": np.concatenate(out_doc),
+                    "score": np.concatenate(out_score),
+                }
+            )
 
         cand = self.segments.where(F.col("term_id").isin(ids)).select(
             "doc_bucket", "term_id", "first_doc", "last_doc", "n_docs",
