@@ -44,6 +44,58 @@ from .regexparser import regex_to_prefixes
 
 TOPK_SCHEMA = "doc_id long, score double"
 
+# ---- driver-side replica of Spark's shuffle hash (Murmur3_x86_32) ----
+# Spark's hashpartitioning places a row at pmod(hash(cols, seed=42), n);
+# `F.hash` chains the running hash through each column (the previous
+# value becomes the next seed), longs as two 32-bit words, ints as one.
+# Replicating it in python lets the perfect-partitioning salt search run
+# entirely on the driver — no createDataFrame job, no python-RDD
+# broadcast — while keeping the placement guarantee (parity with F.hash
+# is pinned by test_spark_hash_parity / the injectivity test).
+
+_M32 = 0xFFFFFFFF
+
+
+def _mm_mix_k1(k1: int) -> int:
+    k1 = (k1 * 0xCC9E2D51) & _M32
+    k1 = ((k1 << 15) | (k1 >> 17)) & _M32
+    return (k1 * 0x1B873593) & _M32
+
+
+def _mm_mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & _M32
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _mm_fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _spark_hash_int(v: int, seed: int) -> int:
+    return _mm_fmix(_mm_mix_h1(seed & _M32, _mm_mix_k1(v & _M32)), 4)
+
+
+def _spark_hash_long(v: int, seed: int) -> int:
+    v &= 0xFFFFFFFFFFFFFFFF
+    h1 = _mm_mix_h1(seed & _M32, _mm_mix_k1(v & _M32))
+    h1 = _mm_mix_h1(h1, _mm_mix_k1(v >> 32))
+    return _mm_fmix(h1, 8)
+
+
+def _spark_hash_bqs(b: int, q: int, s: int) -> int:
+    """Signed-int32 value of F.hash(doc_bucket long, qgrp int, psalt int)."""
+    h = _spark_hash_long(b, 42)
+    h = _spark_hash_int(q, h)
+    h = _spark_hash_int(s, h)
+    return h - (1 << 32) if h >= (1 << 31) else h
+
 
 @dataclass
 class _Bm25Params:
@@ -806,9 +858,9 @@ class SearchIndex:
         can do better than probabilistic placement: greedily pick a salt
         per (doc_bucket, qgrp) such that Spark's own shuffle hash
         (murmur3, seed 42 — exactly ``F.hash``) maps every group to a
-        DISTINCT partition mod g. One tiny driver-side job evaluates the
-        candidate hashes (g×8g rows); the result is cached per (index,
-        Q) forever.
+        DISTINCT partition mod g. The candidate hashes are evaluated
+        with the driver-side murmur3 replica above (no Spark job at
+        all); the result is cached per (index, Q) forever.
 
         Returns (n_partitions, [(doc_bucket, qgrp, psalt), ...]) or None
         when it doesn't apply: uncached index, nb×Q > 64 (at that width
@@ -833,21 +885,13 @@ class SearchIndex:
         groups = [(b, q) for b in self._bucket_values for q in range(Q)]
         g = len(groups)
         n_salts = 8 * g
-        rows = [(b, q, s) for (b, q) in groups for s in range(n_salts)]
-        hv = {
-            (r["doc_bucket"], r["qgrp"], r["psalt"]): int(r["h"])
-            for r in self.spark.createDataFrame(
-                rows, "doc_bucket long, qgrp int, psalt int"
-            )
-            .withColumn("h", F.hash("doc_bucket", "qgrp", "psalt"))
-            .collect()
-        }
         used: set[int] = set()
         salt_rows: list[tuple[int, int, int]] = []
         for b, q in groups:
             for s in range(n_salts):
-                if hv[(b, q, s)] % g not in used:
-                    used.add(hv[(b, q, s)] % g)
+                slot = _spark_hash_bqs(b, q, s) % g
+                if slot not in used:
+                    used.add(slot)
                     salt_rows.append((b, q, s))
                     break
             else:
@@ -1065,11 +1109,40 @@ class SearchIndex:
             "docs", "tfs", "dls",
         )
         if Q > 1:
-            pairs = sorted(
-                {(tid, qi % Q) for qi, ts in q_terms.items() for tid in ts}
-            )
-            qdim = self.spark.createDataFrame(pairs, "term_id long, qgrp int")
-            cand = cand.join(F.broadcast(qdim), "term_id")
+            by_tid: dict[int, list[int]] = {}
+            for qi, ts in q_terms.items():
+                grp = qi % Q
+                for tid in ts:
+                    gs = by_tid.setdefault(tid, [])
+                    if grp not in gs:
+                        gs.append(grp)
+            n_pairs = sum(len(gs) for gs in by_tid.values())
+            if n_pairs <= 2048:
+                # literal map term_id → array(qgrps), exploded: pure JVM
+                # expressions. A createDataFrame dim here is a python-RDD
+                # broadcast — one extra job with python-worker startup per
+                # batch (~0.3-0.5 s), measured 2× the whole warm batch
+                # wall at 40 queries / local[32] (BENCH/BASELINE.md r4
+                # A/B). Large batches keep the broadcast join: a literal
+                # map with tens of thousands of nodes slows analysis, and
+                # 1000-query batches amortize the job anyway.
+                # ONE py4j call: building the same map from F.lit/F.array
+                # columns costs a py4j round-trip per literal (~0.3-0.5 s
+                # of driver prep at 40 queries — measured), the SQL string
+                # parses JVM-side in microseconds
+                entries = ", ".join(
+                    f"{tid}L, array({', '.join(str(g) for g in sorted(by_tid[tid]))})"
+                    for tid in sorted(by_tid)
+                )
+                cand = cand.withColumn(
+                    "qgrp", F.explode(F.expr(f"map({entries})[term_id]"))
+                )
+            else:
+                pairs = sorted(
+                    (tid, grp) for tid, gs in by_tid.items() for grp in gs
+                )
+                qdim = self.spark.createDataFrame(pairs, "term_id long, qgrp int")
+                cand = cand.join(F.broadcast(qdim), "term_id")
         else:
             cand = cand.withColumn("qgrp", F.lit(0))
         # EXPLICIT repartition before the grouped scorer: AQE coalesces
@@ -1093,11 +1166,17 @@ class SearchIndex:
         perfect = self._perfect_scorer_partitioning(Q)
         if perfect:
             n_parts, salt_rows = perfect
-            sdim = self.spark.createDataFrame(
-                salt_rows, "doc_bucket long, qgrp int, psalt int"
+            # psalt via a literal map keyed by doc_bucket·Q + qgrp (≤64
+            # entries by construction) — attaching it with a
+            # createDataFrame dim costs a python-RDD broadcast job per
+            # batch; a map literal is free. Placement is unchanged: the
+            # repartition hashes the same three columns.
+            sentries = ", ".join(f"{b * Q + q}L, {s}" for b, q, s in salt_rows)
+            psalt_expr = F.expr(
+                f"map({sentries})[doc_bucket * {Q}L + CAST(qgrp AS BIGINT)]"
             )
             per = (
-                cand.join(F.broadcast(sdim), ["doc_bucket", "qgrp"])
+                cand.withColumn("psalt", psalt_expr)
                 .repartition(n_parts, "doc_bucket", "qgrp", "psalt")
                 .groupBy("doc_bucket", "qgrp", "psalt")
                 .applyInPandas(score_bucket, "query_id int, " + TOPK_SCHEMA)

@@ -764,3 +764,27 @@ def test_perfect_scorer_partitioning_is_injective(small_index, spark):
         assert len(set(slots)) == n_parts, "slot collision — not a bijection"
     # cached second call returns the identical object
     assert si._perfect_scorer_partitioning(1) is si._perfect_scorer_partitioning(1)
+
+
+@pytest.mark.spark
+def test_spark_hash_parity(spark):
+    """The driver-side murmur3 replica must agree with F.hash for the
+    (long, int, int) column chain the perfect-partitioning salt search
+    places by — including negative doc_buckets (xxhash64 ids) and the
+    full int64 range."""
+    import random
+
+    from gloomy_spark.query.engine import _spark_hash_bqs
+
+    rng = random.Random(1234)
+    rows = [
+        (rng.randint(-(2 ** 63), 2 ** 63 - 1), rng.randint(0, 7), rng.randint(0, 511))
+        for _ in range(200)
+    ] + [(0, 0, 0), (-1, 0, 1), (2 ** 63 - 1, 7, 511), (-(2 ** 63), 3, 17)]
+    df = spark.createDataFrame(
+        rows, "doc_bucket long, qgrp int, psalt int"
+    ).withColumn("h", F.hash("doc_bucket", "qgrp", "psalt"))
+    for r in df.collect():
+        assert _spark_hash_bqs(
+            int(r["doc_bucket"]), int(r["qgrp"]), int(r["psalt"])
+        ) == int(r["h"]), (r["doc_bucket"], r["qgrp"], r["psalt"])
