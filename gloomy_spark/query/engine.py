@@ -97,6 +97,33 @@ def _spark_hash_bqs(b: int, q: int, s: int) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+def _in_longs(col: str, vals) -> "F.Column":
+    """``col IN (...)`` over integer values as ONE py4j round-trip.
+    ``Column.isin`` builds a java literal per element (~1 ms each — 0.8 s
+    of driver time for the ~1000 distinct terms of a 1000-query batch,
+    profiled); parsing one SQL string is microseconds. Small lists keep
+    isin (the string build isn't free either, and plans stay readable)."""
+    vs = [int(v) for v in vals]
+    if not vs:
+        return F.lit(False)
+    if len(vs) <= 64:
+        return F.col(col).isin(vs)
+    return F.expr(f"{col} IN ({','.join(map(str, vs))})")
+
+
+def _in_strings(col: str, vals) -> "F.Column":
+    """String variant of :func:`_in_longs` (values backslash-escaped)."""
+    vs = [str(v) for v in vals]
+    if not vs:
+        return F.lit(False)
+    if len(vs) <= 64:
+        return F.col(col).isin(vs)
+    quoted = ",".join(
+        "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'" for v in vs
+    )
+    return F.expr(f"{col} IN ({quoted})")
+
+
 @dataclass
 class _Bm25Params:
     k1: float
@@ -413,7 +440,7 @@ class SearchIndex:
                     got[d] = self._doc_attr_cache[d]
         missing = [d for d in ids if d not in got]
         if missing:
-            rows = self.docs.where(F.col("doc_id").isin(missing)).collect()
+            rows = self.docs.where(_in_longs("doc_id", missing)).collect()
             fetched = {int(r["doc_id"]): r.asDict() for r in rows}
             for d in missing:
                 # absent docs resolve as {} so callers see a stable shape
@@ -451,7 +478,7 @@ class SearchIndex:
             cols = [c for c in attrs if c in roll.columns]
             if cols and all(c in roll.columns for c in attrs if c in self.docs.columns):
                 return (
-                    roll.where(F.col("term").isin(lowered))
+                    roll.where(_in_strings("term", lowered))
                     # re-aggregate: the rollup may carry MORE attr columns
                     # than this request (e.g. built with [lang, url],
                     # queried with [lang])
@@ -529,7 +556,7 @@ class SearchIndex:
             )
         term_of = {tid: t for t, tid in found.items()}
         segs = self.segments.where(
-            F.col("term_id").isin(list(found.values()))
+            _in_longs("term_id", found.values())
         ).select("term_id", "n_docs", "docs", "tfs", "dls")
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -618,7 +645,7 @@ class SearchIndex:
         n_terms_distinct = len(slot_map)
 
         segs = self.segments.where(
-            F.col("term_id").isin(list(slot_map))
+            _in_longs("term_id", slot_map)
         ).select(
             "doc_bucket", "term_id", "first_doc", "last_doc", "n_docs",
             "docs", "tfs", "dls", "pos_counts", "positions",
@@ -727,7 +754,7 @@ class SearchIndex:
                 *[F.lit(x) for t in toks for x in self._term_map[t]]
             )
             cand = (
-                self.segments.where(F.col("term_id").isin(ids))
+                self.segments.where(_in_longs("term_id", ids))
                 .withColumn("idf", idf_map[F.col("term_id")])
                 .select(
                     "doc_bucket", "first_doc", "last_doc", "n_docs",
@@ -791,7 +818,7 @@ class SearchIndex:
             # threads' cache hits); two threads missing the same term just
             # fetch twice and the second insert is a no-op
             pdf = (
-                self.segments.where(F.col("term_id").isin(missing))
+                self.segments.where(_in_longs("term_id", missing))
                 .select("term_id", "n_docs", "docs", "tfs", "dls")
                 .toPandas()
             )
@@ -927,7 +954,7 @@ class SearchIndex:
         else:
             lookup = {
                 r["term"]: (r["term_id"], r["idf"])
-                for r in self.terms.where(F.col("term").isin(all_toks))
+                for r in self.terms.where(_in_strings("term", all_toks))
                 .select("term", "term_id", "idf")
                 .collect()
             }
@@ -1104,7 +1131,7 @@ class SearchIndex:
                 }
             )
 
-        cand = self.segments.where(F.col("term_id").isin(ids)).select(
+        cand = self.segments.where(_in_longs("term_id", ids)).select(
             "doc_bucket", "term_id", "first_doc", "last_doc", "n_docs",
             "docs", "tfs", "dls",
         )
