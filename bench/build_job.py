@@ -129,11 +129,29 @@ def main() -> None:
         # spawn + codegen compile once per session — a serving process
         # warms up once, so neither timed phase should carry it
         si.bm25_topk_batch([qs[0] if qs else vocab[0]], 1).collect()
-        tq = time.time()
+        qsec = 0.0
         if n_conc:
+            # all clients release together (main thread holds the barrier
+            # and stamps t0 at release): without it the burst straggles
+            # over thread-spawn time, and whether it coalesced into 1 or
+            # 2 micro-batches varied WITH CLUSTER SIZE (spawn races the
+            # first batch's start) — a protocol artifact that swung the
+            # N→4N concurrent ratio by ±0.2 between runs
+            import threading
+
+            gate = threading.Barrier(n_conc + 1)
+
+            def client(q):
+                gate.wait()
+                return mb.query(q, 10)
+
             with ThreadPoolExecutor(max_workers=n_conc) as ex:
-                list(ex.map(lambda q: mb.query(q, 10), qs))
-        qsec = time.time() - tq
+                futs = [ex.submit(client, q) for q in qs]
+                gate.wait()
+                tq = time.time()
+                for f in futs:
+                    f.result()
+                qsec = time.time() - tq
         n_conc_batches = mb.batches_run
         # batched serving model: ALL queries in ONE job — the per-query
         # scheduling floor amortizes, so this is the number that should
