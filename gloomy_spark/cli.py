@@ -51,6 +51,13 @@ def _build_parser() -> argparse.ArgumentParser:
     bm.add_argument("-k", type=int, default=10)
     bm.add_argument("--attrs", default="", help="metadata attrs to join")
 
+    bo = sub.add_parser("boolean", help="boolean doc-set retrieval")
+    bo.add_argument("--index", required=True)
+    bo.add_argument("--must", default="", help="space-separated AND terms")
+    bo.add_argument("--should", default="", help="space-separated OR terms")
+    bo.add_argument("--must-not", default="", help="space-separated NOT terms")
+    bo.add_argument("--limit", type=int, default=100)
+
     ex = sub.add_parser("extract-ngrams", help="dump (term, cf) TSV")
     ex.add_argument("--index", required=True)
     ex.add_argument("--out", required=True)
@@ -89,7 +96,7 @@ def _build_parser() -> argparse.ArgumentParser:
     co.add_argument("--out", required=True, help="index output directory")
     co.add_argument("--buckets", type=int, default=4)
 
-    for p in (ci, se, bm, ex, sv, st, ig, co):
+    for p in (ci, se, bm, bo, ex, sv, st, ig, co):
         p.add_argument("--master", default="local[*]")
         p.add_argument("--shuffle-partitions", type=int, default=32)
     return ap
@@ -218,6 +225,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if attrs:
             hits = si.with_doc_metadata(hits, attrs)
         for r in hits.collect():
+            _emit(r.asDict())
+        return 0
+
+    if args.command == "boolean":
+        from pyspark.sql import functions as F
+
+        from .query.engine import SearchIndex
+
+        si = SearchIndex(spark, args.index)
+        res = si.boolean_search(
+            args.must.split(), args.should.split(), args.must_not.split()
+        )
+        for r in res.orderBy(F.desc("tf"), F.asc("doc_id")).limit(
+            args.limit
+        ).collect():
             _emit(r.asDict())
         return 0
 

@@ -594,6 +594,44 @@ WHERE t0.term = '{toks[0]}'"""
     return fn, sql
 
 
+def q_boolean_search(
+    must: list[str], should: list[str] = (), must_not: list[str] = ()
+):
+    """Boolean doc-set retrieval over the staged index: AND over `must`,
+    OR over `should`, exclusion of `must_not` (one pushed-down scan +
+    one doc_id agg; see SearchIndex.boolean_search)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        return si.boolean_search(must, should, must_not)
+
+    def _in(ts) -> str:
+        return ", ".join(f"'{t}'" for t in ts)
+
+    pos = list(dict.fromkeys([*must, *should]))
+    allq = list(dict.fromkeys([*pos, *must_not]))
+    having = [
+        f"max(CASE WHEN term IN ({_in(must_not)}) THEN 1 ELSE 0 END) = 0"
+        if must_not
+        else None,
+        f"sum(CASE WHEN term IN ({_in(must)}) THEN 1 ELSE 0 END) = {len(set(must))}"
+        if must
+        else None,
+        f"max(CASE WHEN term IN ({_in(should)}) THEN 1 ELSE 0 END) = 1"
+        if should
+        else None,
+    ]
+    sql = f"""WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       cast(sum(CASE WHEN term IN ({_in(pos)}) THEN tf ELSE 0 END) AS int) AS tf
+FROM tf
+WHERE term IN ({_in(allq)})
+GROUP BY doc_id
+HAVING {' AND '.join(c for c in having if c)}"""
+    return fn, sql
+
+
 def q_bm25_with_metadata(query: str, k: int):
     """BM25 top-k joined with the docs dimension (Q11 metadata decode)."""
     from .textnorm import tokenize
@@ -1344,6 +1382,10 @@ def registry() -> dict[str, tuple]:
         "bm25_with_metadata": q_bm25_with_metadata("merge group table", 10),
         "term_attr_counts": q_term_attr_counts("data"),
         "phrase_match": q_phrase_match("table hash"),
+        "boolean_and_not": q_boolean_search(
+            ["scan", "filter"], (), ["slow"]
+        ),
+        "boolean_or": q_boolean_search((), ["merge", "join"], ()),
         "bigram_index_counts": q_ngram_index_counts(2),
         "ngram_regexp_search": q_ngram_regexp(["s[ct]an", "(tab|col).*"]),
         # file-source roundtrips (S1 plaintext / S3 vertical / S4 charset)

@@ -604,6 +604,58 @@ class SearchIndex:
 
         return segs.mapInPandas(decode, "doc_id long, tf int, positions array<int>")
 
+    def boolean_search(
+        self,
+        must: list[str] | tuple[str, ...] = (),
+        should: list[str] | tuple[str, ...] = (),
+        must_not: list[str] | tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Boolean doc-set retrieval: docs containing ALL ``must`` terms,
+        at least one ``should`` term (when any are given), and NONE of
+        ``must_not``. Returns (doc_id, tf) with tf = total occurrences of
+        the positive (must+should) terms in the doc.
+
+        This is new query capability relative to the reference (gloomy
+        returns per-n-gram rows, index/index.go:241-258, and unions
+        sub-results — Q7; it has no doc-set algebra because it has no doc
+        ids). Scale shape: ONE pushed-down segments scan for every term in
+        the query (term_id IN (...) reaches the parquet scan), per-block
+        parallel decode, then a single partial-agg shuffle on doc_id — no
+        joins, no per-term scans, no driver materialization. Exclusion
+        needs no anti-join: any result doc must carry a positive term, so
+        grouping the combined postings by doc_id sees the must_not hits
+        of every candidate doc.
+        """
+        must = [t.lower() for t in dict.fromkeys(must)]
+        should = [t.lower() for t in dict.fromkeys(should)]
+        must_not = [t.lower() for t in dict.fromkeys(must_not)]
+        if not must and not should:
+            raise ValueError("boolean_search needs at least one must/should term")
+        empty = self.spark.createDataFrame([], "doc_id long, tf int")
+        if must and self._term_ids(must) is None:
+            return empty  # an unindexed must term can match nothing
+        p = self.postings_multi(must + should + must_not)
+        is_must = _in_strings("term", must) if must else F.lit(False)
+        is_should = _in_strings("term", should) if should else F.lit(False)
+        is_not = _in_strings("term", must_not) if must_not else F.lit(False)
+        # (term, doc_id) is unique in decoded postings (each doc lives in
+        # exactly one block of a term), so a conditional COUNT replaces
+        # count-distinct — no Expand in the plan
+        agg = p.groupBy("doc_id").agg(
+            F.sum(F.when(is_must, 1).otherwise(0)).alias("_nm"),
+            F.max(F.when(is_should, 1).otherwise(0)).alias("_hs"),
+            F.max(F.when(is_not, 1).otherwise(0)).alias("_hn"),
+            F.sum(F.when(~is_not, F.col("tf")).otherwise(0))
+            .cast("int")
+            .alias("tf"),
+        )
+        cond = F.col("_hn") == 0
+        if must:
+            cond = cond & (F.col("_nm") == len(must))
+        if should:
+            cond = cond & (F.col("_hs") == 1)
+        return agg.where(cond).select("doc_id", "tf")
+
     def _term_ids(self, terms: list[str]) -> dict[str, int] | None:
         """term → term_id for the given terms; None if ANY term is absent
         (a phrase containing an unindexed token can match nothing)."""

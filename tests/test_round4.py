@@ -788,3 +788,72 @@ def test_spark_hash_parity(spark):
         assert _spark_hash_bqs(
             int(r["doc_bucket"]), int(r["qgrp"]), int(r["psalt"])
         ) == int(r["h"]), (r["doc_bucket"], r["qgrp"], r["psalt"])
+
+
+# ------------------------------------------------------ boolean search --
+
+
+def _bool_oracle(o, must, should, must_not):
+    """Set-algebra reference: (∩ must) ∩ (∪ should) − (∪ must_not) with
+    tf = total positive-term occurrences."""
+    docs = set(o.doclen)
+    for t in must:
+        docs &= set(o.tf.get(t, {}))
+    if should:
+        hit = set()
+        for t in should:
+            hit |= set(o.tf.get(t, {}))
+        docs &= hit
+    for t in must_not:
+        docs -= set(o.tf.get(t, {}))
+    pos = list(dict.fromkeys([*must, *should]))
+    return {
+        d: sum(o.tf.get(t, {}).get(d, 0) for t in pos) for d in docs
+    }
+
+
+@pytest.mark.spark
+def test_boolean_search_fuzz_vs_set_algebra(small_index):
+    """40 random (must, should, must_not) triples drawn from the corpus
+    vocabulary (plus injected absent terms) must match the exhaustive
+    python set-algebra oracle doc-for-doc and tf-for-tf."""
+    import random
+
+    import numpy as np
+
+    from gloomy_spark.corpus import generate_pages_batch
+    from gloomy_spark.oracle import OracleIndex
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    local = generate_pages_batch(np.arange(120))
+    o = OracleIndex(list(zip(local.doc_id, local.text)), cfg)
+    vocab = sorted(o.tf)
+    rng = random.Random(77)
+    for trial in range(40):
+        pick = lambda n: [
+            rng.choice(vocab + ["zzz_absent"] * (1 if trial % 5 == 0 else 0))
+            for _ in range(rng.randint(0, n))
+        ]
+        must, should, must_not = pick(3), pick(2), pick(2)
+        if not must and not should:
+            must = [rng.choice(vocab)]
+        got = {
+            r["doc_id"]: r["tf"]
+            for r in small_index.boolean_search(must, should, must_not).collect()
+        }
+        assert got == _bool_oracle(o, must, should, must_not), (
+            trial, must, should, must_not
+        )
+
+
+@pytest.mark.spark
+def test_boolean_search_edges(small_index):
+    """Unindexed must term → empty; a term in both must and must_not →
+    empty; no positive terms → ValueError; duplicates dedup."""
+    assert small_index.boolean_search(["zzz_absent", "the"]).count() == 0
+    assert small_index.boolean_search(["the"], (), ["the"]).count() == 0
+    with pytest.raises(ValueError):
+        small_index.boolean_search((), (), ["the"])
+    a = small_index.boolean_search(["the", "the"]).collect()
+    b = small_index.boolean_search(["the"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
