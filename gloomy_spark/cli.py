@@ -58,6 +58,13 @@ def _build_parser() -> argparse.ArgumentParser:
     bo.add_argument("--must-not", default="", help="space-separated NOT terms")
     bo.add_argument("--limit", type=int, default=100)
 
+    kw = sub.add_parser("kwic", help="keyword-in-context concordance")
+    kw.add_argument("--index", required=True)
+    kw.add_argument("--docs", required=True, help="forward store (parquet path or table)")
+    kw.add_argument("--query", required=True, help="term or exact phrase")
+    kw.add_argument("--width", type=int, default=3, help="context tokens per side")
+    kw.add_argument("--limit", type=int, default=100)
+
     ex = sub.add_parser("extract-ngrams", help="dump (term, cf) TSV")
     ex.add_argument("--index", required=True)
     ex.add_argument("--out", required=True)
@@ -96,7 +103,7 @@ def _build_parser() -> argparse.ArgumentParser:
     co.add_argument("--out", required=True, help="index output directory")
     co.add_argument("--buckets", type=int, default=4)
 
-    for p in (ci, se, bm, bo, ex, sv, st, ig, co):
+    for p in (ci, se, bm, bo, kw, ex, sv, st, ig, co):
         p.add_argument("--master", default="local[*]")
         p.add_argument("--shuffle-partitions", type=int, default=32)
     return ap
@@ -238,6 +245,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             args.must.split(), args.should.split(), args.must_not.split()
         )
         for r in res.orderBy(F.desc("tf"), F.asc("doc_id")).limit(
+            args.limit
+        ).collect():
+            _emit(r.asDict())
+        return 0
+
+    if args.command == "kwic":
+        from pyspark.sql import functions as F
+
+        from .query.engine import SearchIndex
+        from .sources.pages import pages_to_docs, read_pages
+
+        docs = read_pages(spark, args.docs)
+        if "doc_id" not in docs.columns:
+            docs = pages_to_docs(docs)
+        si = SearchIndex(spark, args.index)
+        res = si.kwic(args.query, docs, width=args.width)
+        for r in res.orderBy(F.asc("doc_id"), F.asc("pos")).limit(
             args.limit
         ).collect():
             _emit(r.asDict())

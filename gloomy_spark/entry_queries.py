@@ -594,6 +594,35 @@ WHERE t0.term = '{toks[0]}'"""
     return fn, sql
 
 
+def q_kwic(query: str, width: int):
+    """Keyword-in-context concordance over the staged index + forward
+    store (see SearchIndex.kwic): every occurrence of the term/phrase
+    with up to `width` tokens of context each side."""
+    toks = query.lower().split()
+    n = len(toks)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        return si.kwic(query, _docs(spark, sf_dir), width=width)
+
+    joins = " ".join(
+        f"JOIN toks t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.pos = t0.pos + {i} "
+        f"AND t{i}.term = '{t}'"
+        for i, t in enumerate(toks[1:], start=1)
+    )
+    sql = f"""WITH {TOKS_CTE},
+hits AS (
+  SELECT t0.doc_id, t0.pos FROM toks t0 {joins}
+  WHERE t0.term = '{toks[0]}'
+)
+SELECT h.doc_id, cast(h.pos AS int) AS pos,
+  coalesce(array_to_string(list_slice(b.toks, greatest(1, h.pos - {width} + 1), h.pos), ' '), '') AS lctx,
+  array_to_string(list_slice(b.toks, h.pos + 1, h.pos + {n}), ' ') AS kw,
+  coalesce(array_to_string(list_slice(b.toks, h.pos + {n} + 1, h.pos + {n} + {width}), ' '), '') AS rctx
+FROM hits h JOIN base b USING (doc_id)"""
+    return fn, sql
+
+
 def q_boolean_search(
     must: list[str], should: list[str] = (), must_not: list[str] = ()
 ):
@@ -1386,6 +1415,8 @@ def registry() -> dict[str, tuple]:
             ["scan", "filter"], (), ["slow"]
         ),
         "boolean_or": q_boolean_search((), ["merge", "join"], ()),
+        "kwic_term": q_kwic("data", 3),
+        "kwic_phrase": q_kwic("merge group table", 2),
         "bigram_index_counts": q_ngram_index_counts(2),
         "ngram_regexp_search": q_ngram_regexp(["s[ct]an", "(tab|col).*"]),
         # file-source roundtrips (S1 plaintext / S3 vertical / S4 charset)

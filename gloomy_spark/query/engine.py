@@ -669,7 +669,7 @@ class SearchIndex:
             found = {r["term"]: r["term_id"] for r in rows}
         return found if len(found) == len(uniq) else None
 
-    def phrase_match(self, phrase: str) -> DataFrame:
+    def phrase_match(self, phrase: str, with_positions: bool = False) -> DataFrame:
         """Docs containing the exact token phrase (adjacent positions).
 
         Scale-safe plan (a phrase containing "the" must NOT explode the
@@ -679,17 +679,25 @@ class SearchIndex:
         cheap doc payloads, (b) decodes POSITIONS only for blocks that
         still overlap the surviving candidate docs, then (c) verifies
         adjacency per candidate. No explode, no position decode for
-        non-candidate docs."""
+        non-candidate docs.
+
+        ``with_positions=True`` adds a ``positions array<int>`` column
+        carrying the anchor positions (token offset of the phrase's FIRST
+        token) of every occurrence in the doc — the anchors are a free
+        by-product of step (c), so this costs nothing extra."""
+        schema = (
+            "doc_id long, positions array<int>" if with_positions else "doc_id long"
+        )
         if not self.cfg.store_positions:
             raise ValueError(
                 "phrase queries require an index built with store_positions=True"
             )
         terms = tokenize(phrase, self.cfg)
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long")
+            return self.spark.createDataFrame([], schema)
         tids = self._term_ids(terms)
         if tids is None:
-            return self.spark.createDataFrame([], "doc_id long")
+            return self.spark.createDataFrame([], schema)
         # term_id → phrase offsets (a repeated token occupies several slots)
         slot_map: dict[int, list[int]] = {}
         for slot, t in enumerate(terms):
@@ -705,6 +713,8 @@ class SearchIndex:
 
         def match(pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": np.array([], dtype=np.int64)})
+            if with_positions:
+                empty["positions"] = pd.Series([], dtype=object)
             groups = {
                 int(tid): g.sort_values("first_doc")
                 for tid, g in pdf.groupby("term_id")
@@ -750,6 +760,7 @@ class SearchIndex:
 
             # (c) adjacency: one anchor must carry every phrase slot
             out: list[int] = []
+            out_pos: list[np.ndarray] = []
             for doc in cand.tolist():
                 anchors: np.ndarray | None = None
                 for tid, slots in slot_map.items():
@@ -771,10 +782,70 @@ class SearchIndex:
                         break
                 if anchors is not None and len(anchors) > 0:
                     out.append(doc)
-            return pd.DataFrame({"doc_id": np.array(out, dtype=np.int64)})
+                    if with_positions:
+                        out_pos.append(np.sort(anchors).astype(np.int32))
+            res = pd.DataFrame({"doc_id": np.array(out, dtype=np.int64)})
+            if with_positions:
+                res["positions"] = pd.Series(out_pos, dtype=object)
+            return res
 
         # doc_buckets are disjoint doc ranges → no cross-bucket duplicates
-        return segs.groupBy("doc_bucket").applyInPandas(match, "doc_id long")
+        return segs.groupBy("doc_bucket").applyInPandas(match, schema)
+
+    def kwic(self, query: str, docs: DataFrame, width: int = 3) -> DataFrame:
+        """Keyword-in-context concordance: every occurrence of ``query``
+        (a single term or an exact phrase) with up to ``width`` tokens of
+        context on each side. Returns (doc_id, pos, lctx, kw, rctx) — pos
+        is the 0-based token offset of the match start, lctx/rctx are
+        space-joined context windows (shorter at doc edges).
+
+        This is reference parity with a corpus-concordancer front end
+        over the n-gram service (the reference exposes per-n-gram rows
+        plus document Args, service/search.go; a KonText-style client
+        renders the context — here the engine computes it directly).
+
+        Scale shape: hit positions come from the index (pushed-down
+        postings scan for a term; the bucketed phrase matcher with free
+        anchor positions for a phrase — never a corpus scan), then ONE
+        join against the forward store restricted to (doc_id, text), with
+        tokenization and window slicing AFTER the join so only matched
+        docs are tokenized, all in JVM expressions (slice/array_join —
+        no Python, no explode of full token streams). The hits side is
+        tiny relative to the corpus for selective queries; AQE sizes it
+        at runtime and picks a broadcast join, so the 100 TB forward
+        store is never shuffled.
+        """
+        out_schema = "doc_id long, pos int, lctx string, kw string, rctx string"
+        terms = tokenize(query, self.cfg)
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        n = len(terms)
+        if n == 1:
+            hits = self.postings_positions(terms[0]).select("doc_id", "positions")
+        else:
+            hits = self.phrase_match(query, with_positions=True)
+
+        from ..functions.text import tokens_col
+
+        w = F.lit(int(width))
+        joined = docs.select("doc_id", "text").join(hits, "doc_id").select(
+            "doc_id",
+            F.explode("positions").alias("pos"),
+            tokens_col(F.col("text"), self.cfg).alias("_toks"),
+        )
+        start1 = F.col("pos") + 1  # 1-based index of the match start
+        return joined.select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.array_join(
+                F.slice(
+                    "_toks", F.greatest(F.lit(1), start1 - w), F.least(F.col("pos"), w)
+                ),
+                " ",
+            ).alias("lctx"),
+            F.array_join(F.slice("_toks", start1, n), " ").alias("kw"),
+            F.array_join(F.slice("_toks", start1 + n, w), " ").alias("rctx"),
+        )
 
     # ------------------------------------------------------------ BM25 --
     def query_terms(self, query: str) -> DataFrame:

@@ -857,3 +857,96 @@ def test_boolean_search_edges(small_index):
     a = small_index.boolean_search(["the", "the"]).collect()
     b = small_index.boolean_search(["the"]).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# --------------------------------------------------------------- kwic --
+
+
+def _kwic_oracle(texts, query, width, cfg):
+    """Exhaustive python reference: tokenize every doc, scan for the
+    phrase, emit (doc_id, pos, lctx, kw, rctx) windows."""
+    from gloomy_spark.textnorm import tokenize
+
+    terms = tokenize(query, cfg)
+    n = len(terms)
+    out = set()
+    for doc_id, text in texts:
+        toks = tokenize(text, cfg)
+        for i in range(len(toks) - n + 1):
+            if toks[i : i + n] == terms:
+                out.add((
+                    doc_id,
+                    i,
+                    " ".join(toks[max(0, i - width) : i]),
+                    " ".join(toks[i : i + n]),
+                    " ".join(toks[i + n : i + n + width]),
+                ))
+    return out
+
+
+@pytest.mark.spark
+def test_kwic_fuzz_vs_python_oracle(spark, small_index):
+    """Random terms and phrases (lifted from real docs so phrases DO hit,
+    plus absent ones) at several widths must match the exhaustive window
+    oracle row-for-row, including doc-edge truncation."""
+    import random
+
+    import numpy as np
+
+    from gloomy_spark.corpus import generate_pages_batch, pages_df
+    from gloomy_spark.textnorm import tokenize
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    local = generate_pages_batch(np.arange(120))
+    texts = list(zip(local.doc_id.tolist(), local.text.tolist()))
+    docs = pages_df(spark, 120, partitions=4).select("doc_id", "text")
+    rng = random.Random(99)
+    queries = []
+    for _ in range(6):  # phrases lifted verbatim from documents
+        d, t = texts[rng.randrange(len(texts))]
+        toks = tokenize(t, cfg)
+        i = rng.randrange(max(1, len(toks) - 3))
+        queries.append(" ".join(toks[i : i + rng.randint(1, 3)]))
+    queries += ["data", "zzz_absent", "data zzz_absent"]
+    for q in queries:
+        width = rng.choice([1, 2, 3, 5])
+        got = {
+            (r["doc_id"], r["pos"], r["lctx"], r["kw"], r["rctx"])
+            for r in small_index.kwic(q, docs, width=width).collect()
+        }
+        assert got == _kwic_oracle(texts, q, width, cfg), (q, width)
+
+
+@pytest.mark.spark
+def test_phrase_match_positions_consistent(spark, small_index):
+    """with_positions=True returns the same doc set as the plain matcher
+    and every anchor is a true phrase start (positions are sorted,
+    non-empty, deduplicated)."""
+    import numpy as np
+
+    from gloomy_spark.corpus import generate_pages_batch
+    from gloomy_spark.textnorm import tokenize
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    local = generate_pages_batch(np.arange(120))
+    toks_by_doc = {
+        int(d): tokenize(t, cfg) for d, t in zip(local.doc_id, local.text)
+    }
+    # a phrase guaranteed to exist: first two tokens of doc 0
+    phrase = " ".join(toks_by_doc[0][:2])
+    plain = {r["doc_id"] for r in small_index.phrase_match(phrase).collect()}
+    withpos = {
+        r["doc_id"]: list(r["positions"])
+        for r in small_index.phrase_match(phrase, with_positions=True).collect()
+    }
+    assert set(withpos) == plain and plain
+    terms = tokenize(phrase, cfg)
+    for doc_id, anchors in withpos.items():
+        assert anchors == sorted(set(anchors)) and anchors
+        toks = toks_by_doc[doc_id]
+        expect = [
+            i
+            for i in range(len(toks) - len(terms) + 1)
+            if toks[i : i + len(terms)] == terms
+        ]
+        assert anchors == expect, doc_id
