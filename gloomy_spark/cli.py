@@ -76,6 +76,10 @@ def _build_parser() -> argparse.ArgumentParser:
         help="name=index_dir (repeatable); name=index_dir@runs_dir also "
         "serves /bm25?nrt=1 over uncompacted streaming runs",
     )
+    sv.add_argument(
+        "--docs", action="append", default=[],
+        help="name=forward_store (repeatable); enables /kwic for that corpus",
+    )
     sv.add_argument("--port", type=int, default=8090)
     sv.add_argument(
         "--batch-window-ms", type=float, default=50.0,
@@ -310,7 +314,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from .service import SearchService
 
         corpora = dict(c.split("=", 1) for c in args.corpus)
-        svc = SearchService(spark, corpora, batch_window_ms=args.batch_window_ms)
+        docs = dict(d.split("=", 1) for d in args.docs)
+        svc = SearchService(
+            spark, corpora, batch_window_ms=args.batch_window_ms, docs=docs
+        )
         port = svc.start(args.port)
         _emit({"listening": port, "corpora": sorted(corpora)})
         try:

@@ -15,6 +15,12 @@ Endpoints (mirroring server.go:115-158 query params):
         (nrt=1 — for corpora configured as "index_dir@runs_dir" — scores
         over base ⊎ uncompacted streaming runs, exact vs a full rebuild;
         NRT cache entries are keyed on the run-set version)
+    GET /boolean?corpus=<name>&must=a&must=b&should=c&must_not=d&limit=100
+        (doc-set algebra over the index: AND over must, OR over should,
+        NOT over must_not; rows ordered tf desc, doc_id asc)
+    GET /kwic?corpus=<name>&q=<term or phrase>&width=3&offset=0&limit=10
+        (concordance windows; needs a forward store configured for the
+        corpus via ``docs={name: path}`` / CLI ``--docs name=path``)
 Response: {"size": N, "rows": [...], "searchTime": sec}
 """
 
@@ -38,17 +44,21 @@ class SearchService:
     CACHE_SIZE = 256
 
     def __init__(self, spark: SparkSession, corpora: dict[str, str],
-                 batch_window_ms: float = 50.0):
+                 batch_window_ms: float = 50.0,
+                 docs: dict[str, str] | None = None):
         """corpora: name → index_dir, or name → "index_dir@runs_dir" to
         also serve NEAR-REAL-TIME results over the streaming ingestion's
         uncompacted posting runs (`/bm25?...&nrt=1` → base ⊎ runs, exact
         vs a full rebuild — streaming/nrt.py). batch_window_ms: the
         micro-batch coalescing window for concurrent /bm25 requests on
-        the distributed path (query/microbatch.py)."""
+        the distributed path (query/microbatch.py). docs: name → forward
+        store (parquet path or table) enabling /kwic for that corpus."""
         self.spark = spark
         self.batch_window_ms = batch_window_ms
         self.indexes: dict[str, SearchIndex] = {}
         self.runs_dirs: dict[str, str] = {}
+        self.docs_sources: dict[str, str] = dict(docs or {})
+        self._docs_cache: dict[str, object] = {}
         for name, spec in corpora.items():
             path, _, runs = spec.partition("@")
             self.indexes[name] = SearchIndex(spark, path).cache()
@@ -105,6 +115,68 @@ class SearchService:
             while len(self._cache) > self.CACHE_SIZE:
                 self._cache.popitem(last=False)
         return rows, False
+
+    def _docs_df(self, corpus: str):
+        """Lazily-resolved forward store for /kwic (read once per corpus;
+        the DataFrame is a lazy plan — no data is loaded until a query)."""
+        if corpus not in self.docs_sources:
+            raise KeyError(f"corpus {corpus!r} has no forward store configured")
+        if corpus not in self._docs_cache:
+            from .sources.pages import pages_to_docs, read_pages
+
+            d = read_pages(self.spark, self.docs_sources[corpus])
+            if "doc_id" not in d.columns:
+                d = pages_to_docs(d)
+            self._docs_cache[corpus] = d
+        return self._docs_cache[corpus]
+
+    def boolean(self, corpus: str, must: list[str], should: list[str],
+                must_not: list[str], limit: int) -> dict:
+        """Doc-set retrieval (engine boolean_search): tf-desc page of docs
+        matching the AND/OR/NOT clause sets."""
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        si = self.indexes[corpus]
+
+        def compute() -> list:
+            res = si.boolean_search(must, should, must_not)
+            return [
+                r.asDict()
+                for r in res.orderBy(F.desc("tf"), F.asc("doc_id"))
+                .limit(limit)
+                .collect()
+            ]
+
+        rows, hit = self._cached(
+            ("boolean", corpus, tuple(must), tuple(should), tuple(must_not),
+             limit),
+            compute,
+        )
+        return {"size": len(rows), "rows": rows, "cached": hit,
+                "searchTime": round(time.time() - t0, 4)}
+
+    def kwic(self, corpus: str, q: str, width: int, offset: int,
+             limit: int) -> dict:
+        """Concordance page (engine kwic): occurrences of the term/phrase
+        with context windows, ordered (doc_id, pos)."""
+        t0 = time.time()
+        si = self.indexes[corpus]
+
+        def compute() -> list:
+            res = si.kwic(q, self._docs_df(corpus), width=width).orderBy(
+                "doc_id", "pos"
+            )
+            # offset+limit push down to the sort (TakeOrdered) — same
+            # no-global-sort shape as SearchIndex.slice
+            res = res.offset(offset).limit(limit) if offset else res.limit(limit)
+            return [r.asDict() for r in res.collect()]
+
+        rows, hit = self._cached(
+            ("kwic", corpus, q, width, offset, limit), compute
+        )
+        return {"size": len(rows), "rows": rows, "cached": hit,
+                "searchTime": round(time.time() - t0, 4)}
 
     # ------------------------------------------------------------ logic --
     def search(self, corpus: str, q: str, qtype: str, offset: int, limit: int,
@@ -249,6 +321,16 @@ class SearchService:
                         out = svc.bm25(
                             corpus, p("q", ""), int(p("k", "10")), attrs,
                             nrt=p("nrt", "0") not in ("0", "", "false"),
+                        )
+                    elif u.path == "/boolean":
+                        out = svc.boolean(
+                            corpus, qs.get("must", []), qs.get("should", []),
+                            qs.get("must_not", []), int(p("limit", "100")),
+                        )
+                    elif u.path == "/kwic":
+                        out = svc.kwic(
+                            corpus, p("q", ""), int(p("width", "3")),
+                            int(p("offset", "0")), int(p("limit", "10")),
                         )
                     else:
                         self.send_error(404)

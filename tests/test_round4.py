@@ -950,3 +950,82 @@ def test_phrase_match_positions_consistent(spark, small_index):
             if toks[i : i + len(terms)] == terms
         ]
         assert anchors == expect, doc_id
+
+
+@pytest.mark.spark
+def test_service_boolean_and_kwic_endpoints(spark, tmp_path):
+    """/boolean pages the engine's doc-set retrieval; /kwic serves
+    concordance windows when a forward store is configured and returns a
+    clear 400 when it isn't."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.service import SearchService
+
+    cfg = EngineConfig(shuffle_partitions=4, doc_bucket_width=64)
+    idx = str(tmp_path / "bkidx")
+    fwd = str(tmp_path / "fwd.parquet")
+    docs = pages_df(spark, 60, partitions=2).select("doc_id", "text")
+    docs.write.parquet(fwd)
+    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=1)
+    svc = SearchService(spark, {"main": idx, "bare": idx}, docs={"main": fwd})
+    port = svc.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}", timeout=120
+            ) as r:
+                return json.loads(r.read())
+
+        si = svc.indexes["main"]
+        # real corpus terms (the synthetic vocab is generator-defined —
+        # don't hardcode words): t1 near-ubiquitous, t2 rare, so
+        # "t1 AND NOT t2" is non-empty
+        t1 = si.terms.orderBy(F.desc("df"), F.asc("term")).first()["term"]
+        t2 = si.terms.orderBy(F.asc("df"), F.asc("term")).first()["term"]
+        out = get(f"/boolean?corpus=main&must={t1}&must_not={t2}&limit=500")
+        want = {
+            (r["doc_id"], r["tf"])
+            for r in si.boolean_search([t1], (), [t2]).collect()
+        }
+        assert {(r["doc_id"], r["tf"]) for r in out["rows"]} == want and want
+        assert get(f"/boolean?corpus=main&must={t1}&must_not={t2}&limit=500")[
+            "cached"
+        ]
+
+        kw = get(f"/kwic?corpus=main&q={t1}&width=2&limit=5")
+        assert kw["size"] == 5
+        direct = [
+            (r["doc_id"], r["pos"], r["lctx"], r["kw"], r["rctx"])
+            for r in si.kwic(t1, docs, width=2)
+            .orderBy("doc_id", "pos")
+            .limit(5)
+            .collect()
+        ]
+        assert [
+            (r["doc_id"], r["pos"], r["lctx"], r["kw"], r["rctx"])
+            for r in kw["rows"]
+        ] == direct
+        # offset paging: page 2 continues exactly where page 1 ended
+        p2 = get(f"/kwic?corpus=main&q={t1}&width=2&offset=5&limit=5")
+        all10 = [
+            (r["doc_id"], r["pos"])
+            for r in si.kwic(t1, docs, width=2)
+            .orderBy("doc_id", "pos")
+            .limit(10)
+            .collect()
+        ]
+        assert [(r["doc_id"], r["pos"]) for r in p2["rows"]] == all10[5:]
+
+        # no forward store → 400 with a clear error, not a silent empty page
+        try:
+            get(f"/kwic?corpus=bare&q={t1}")
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "forward store" in json.loads(e.read())["error"]
+    finally:
+        svc.stop()
