@@ -520,7 +520,11 @@ class SearchIndex:
         if not tid_rows:
             return self.spark.createDataFrame([], "doc_id long, tf int, dl int")
         tid = tid_rows[0]["term_id"]
-        segs = self.segments.where(F.col("term_id") == tid)
+        # prune to the block payload columns the decoder touches — the
+        # scan must not read max_score/sum_tf/doc-range bytes it won't use
+        segs = self.segments.where(F.col("term_id") == tid).select(
+            "n_docs", "docs", "tfs", "dls"
+        )
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # per-BLOCK loop (1/block_size of posting count); to_dict avoids
@@ -584,7 +588,9 @@ class SearchIndex:
                 [], "doc_id long, tf int, positions array<int>"
             )
         tid = tid_rows[0]["term_id"]
-        segs = self.segments.where(F.col("term_id") == tid)
+        segs = self.segments.where(F.col("term_id") == tid).select(
+            "n_docs", "docs", "tfs", "dls", "pos_counts", "positions"
+        )
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:

@@ -1029,3 +1029,31 @@ def test_service_boolean_and_kwic_endpoints(spark, tmp_path):
             assert "forward store" in json.loads(e.read())["error"]
     finally:
         svc.stop()
+
+
+@pytest.mark.spark
+def test_postings_scan_prunes_block_columns(spark, tmp_path):
+    """Single-term posting decodes on an UNCACHED index must not read
+    block columns the decoder never touches (max_score/sum_tf/doc
+    ranges) — the pruned ReadSchema is what keeps per-term IO
+    proportional to payload. (A .cache()d index intentionally scans all
+    columns once to populate the cache, and Spark's CacheManager
+    substitutes that relation for any scan of the same files — so this
+    test builds its own never-cached index.)"""
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+
+    cfg = EngineConfig(shuffle_partitions=2, doc_bucket_width=64)
+    idx = str(tmp_path / "pruneidx")
+    IndexBuilder(spark, cfg).build(
+        pages_df(spark, 30, partitions=1).select("doc_id", "text"),
+        idx, n_buckets=1,
+    )
+    si = SearchIndex(spark, idx)
+    t = si.terms.orderBy(F.desc("df"), F.asc("term")).first()["term"]
+    for df in (si.postings(t), si.postings_positions(t)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rs = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "max_score" not in rs and "sum_tf" not in rs, rs
+        assert "docs" in rs and "tfs" in rs
