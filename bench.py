@@ -117,6 +117,12 @@ def main() -> None:
         "q_term_attr_counts",
         lambda: si.term_attr_counts(["the", "data", "scan"], ["lang"]).count(),
     )
+    timed("q_phrase_match", lambda: si.phrase_match("merge group table").count())
+    timed(
+        "q_boolean_search",
+        lambda: si.boolean_search(["scan", "filter"], (), ["slow"]).count(),
+    )
+    timed("q_kwic", lambda: si.kwic("data", docs, width=3).count())
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ---- operator suite from the driver registry ----
