@@ -65,6 +65,14 @@ def _build_parser() -> argparse.ArgumentParser:
     kw.add_argument("--width", type=int, default=3, help="context tokens per side")
     kw.add_argument("--limit", type=int, default=100)
 
+    cl = sub.add_parser("collocations", help="collocation extraction around a node term")
+    cl.add_argument("--index", required=True)
+    cl.add_argument("--docs", required=True, help="forward store (parquet path or table)")
+    cl.add_argument("--node", required=True, help="node token")
+    cl.add_argument("--window", type=int, default=3)
+    cl.add_argument("--min-freq", type=int, default=3)
+    cl.add_argument("--limit", type=int, default=50)
+
     ex = sub.add_parser("extract-ngrams", help="dump (term, cf) TSV")
     ex.add_argument("--index", required=True)
     ex.add_argument("--out", required=True)
@@ -107,7 +115,7 @@ def _build_parser() -> argparse.ArgumentParser:
     co.add_argument("--out", required=True, help="index output directory")
     co.add_argument("--buckets", type=int, default=4)
 
-    for p in (ci, se, bm, bo, kw, ex, sv, st, ig, co):
+    for p in (ci, se, bm, bo, kw, cl, ex, sv, st, ig, co):
         p.add_argument("--master", default="local[*]")
         p.add_argument("--shuffle-partitions", type=int, default=32)
     return ap
@@ -266,6 +274,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         si = SearchIndex(spark, args.index)
         res = si.kwic(args.query, docs, width=args.width)
         for r in res.orderBy(F.asc("doc_id"), F.asc("pos")).limit(
+            args.limit
+        ).collect():
+            _emit(r.asDict())
+        return 0
+
+    if args.command == "collocations":
+        from pyspark.sql import functions as F
+
+        from .query.engine import SearchIndex
+        from .sources.pages import pages_to_docs, read_pages
+
+        docs = read_pages(spark, args.docs)
+        if "doc_id" not in docs.columns:
+            docs = pages_to_docs(docs)
+        si = SearchIndex(spark, args.index)
+        res = si.collocations(
+            args.node, docs, window=args.window, min_freq=args.min_freq
+        )
+        for r in res.orderBy(F.desc("log_dice"), F.asc("collocate")).limit(
             args.limit
         ).collect():
             _emit(r.asDict())

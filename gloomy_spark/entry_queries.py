@@ -623,6 +623,42 @@ FROM hits h JOIN base b USING (doc_id)"""
     return fn, sql
 
 
+def q_collocations(node: str, window: int, min_freq: int = 1):
+    """Collocation extraction around a node term (log-Dice / MI /
+    t-score over a ±window co-occurrence count; see
+    SearchIndex.collocations)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        return si.collocations(
+            node, _docs(spark, sf_dir), window=window, min_freq=min_freq
+        )
+
+    sql = f"""WITH {TOKS_CTE},
+node AS (SELECT doc_id, pos FROM toks WHERE term = '{node}'),
+coll AS (
+  SELECT t.term FROM node n
+  JOIN toks t ON t.doc_id = n.doc_id
+   AND t.pos BETWEEN n.pos - {window} AND n.pos + {window}
+   AND t.pos <> n.pos
+),
+fxy AS (
+  SELECT term, cast(count(*) AS bigint) AS f_xy FROM coll GROUP BY term
+  HAVING count(*) >= {min_freq}
+),
+marg AS (SELECT term, cast(count(*) AS bigint) AS cf FROM toks GROUP BY term),
+consts AS (
+  SELECT (SELECT cf FROM marg WHERE term = '{node}') AS f_x,
+         (SELECT cast(count(*) AS double) FROM toks) AS n
+)
+SELECT f.term AS collocate, f.f_xy, m.cf AS f_y,
+  round(14 + log2(2.0 * f.f_xy / (c.f_x + m.cf)), 4) AS log_dice,
+  round(log2(f.f_xy * c.n / (c.f_x * m.cf)), 4) AS mi,
+  round((f.f_xy - c.f_x * m.cf / c.n) / sqrt(f.f_xy), 4) AS t_score
+FROM fxy f JOIN marg m USING (term) CROSS JOIN consts c"""
+    return fn, sql
+
+
 def q_boolean_search(
     must: list[str], should: list[str] = (), must_not: list[str] = ()
 ):
@@ -1417,6 +1453,7 @@ def registry() -> dict[str, tuple]:
         "boolean_or": q_boolean_search((), ["merge", "join"], ()),
         "kwic_term": q_kwic("data", 3),
         "kwic_phrase": q_kwic("merge group table", 2),
+        "collocations": q_collocations("data", 3, min_freq=2),
         "bigram_index_counts": q_ngram_index_counts(2),
         "ngram_regexp_search": q_ngram_regexp(["s[ct]an", "(tab|col).*"]),
         # file-source roundtrips (S1 plaintext / S3 vertical / S4 charset)

@@ -853,6 +853,93 @@ class SearchIndex:
             F.array_join(F.slice("_toks", start1 + n, w), " ").alias("rctx"),
         )
 
+    def collocations(self, node: str, docs: DataFrame, window: int = 3,
+                     min_freq: int = 1) -> DataFrame:
+        """Collocation extraction: tokens co-occurring with ``node``
+        within ±``window`` positions, ranked by association strength.
+        Returns (collocate, f_xy, f_y, log_dice, mi, t_score) with the
+        standard corpus-linguistics measures (public formulas; the
+        reference's ecosystem — KonText-style concordancers — computes
+        these client-side from n-gram counts):
+
+            log_dice = 14 + log2(2·f_xy / (f_x + f_y))
+            mi       = log2(f_xy · N / (f_x · f_y))
+            t_score  = (f_xy − f_x·f_y/N) / sqrt(f_xy)
+
+        where f_x = corpus frequency of the node, f_y of the collocate,
+        f_xy = window co-occurrence count (every node occurrence
+        contributes its window; overlapping windows double-count, the
+        standard convention), N = total corpus tokens.
+
+        Scale shape: node positions from ONE pushed-down postings scan;
+        forward store joined and tokenized only for matching docs (same
+        plan as kwic — AQE broadcasts the hit side against a 100 TB
+        store); window tokens sliced and exploded in JVM expressions;
+        one groupBy(collocate) partial agg; marginals attached by ONE
+        join against the term dictionary (f_xy side is vocabulary-
+        bounded). f_x and N are driver scalars (dictionary lookups)."""
+        out_schema = (
+            "collocate string, f_xy long, f_y long, "
+            "log_dice double, mi double, t_score double"
+        )
+        toks = tokenize(node, self.cfg)
+        if len(toks) != 1:
+            raise ValueError("collocations takes a single node token")
+        node_term = toks[0]
+        row = self.search_exact(node_term).collect()
+        if not row:
+            return self.spark.createDataFrame([], out_schema)
+        f_x = int(row[0]["cf"])
+        n_tokens = int(
+            self.terms.agg(F.sum("cf").alias("n")).collect()[0]["n"]
+        )
+
+        from ..functions.text import tokens_col
+
+        w = F.lit(int(window))
+        hits = self.postings_positions(node_term).select("doc_id", "positions")
+        j = docs.select("doc_id", "text").join(hits, "doc_id").select(
+            F.explode("positions").alias("pos"),
+            tokens_col(F.col("text"), self.cfg).alias("_toks"),
+        )
+        start1 = F.col("pos") + 1
+        ctx = j.select(
+            F.explode(
+                F.concat(
+                    F.slice("_toks", F.greatest(F.lit(1), start1 - w),
+                            F.least(F.col("pos"), w)),
+                    F.slice("_toks", start1 + 1, w),
+                )
+            ).alias("collocate")
+        )
+        fxy = ctx.groupBy("collocate").agg(
+            F.count("*").cast("long").alias("f_xy")
+        )
+        if min_freq > 1:
+            fxy = fxy.where(F.col("f_xy") >= min_freq)
+        joined = fxy.join(
+            self.terms.select(F.col("term").alias("collocate"),
+                              F.col("cf").alias("f_y")),
+            "collocate",
+        )
+        fxy_c, fy_c = F.col("f_xy"), F.col("f_y")
+        return joined.select(
+            "collocate",
+            "f_xy",
+            fy_c.cast("long").alias("f_y"),
+            F.round(
+                F.lit(14.0) + F.log2(F.lit(2.0) * fxy_c / (F.lit(f_x) + fy_c)), 4
+            ).alias("log_dice"),
+            F.round(
+                F.log2(fxy_c * F.lit(float(n_tokens)) / (F.lit(f_x) * fy_c)), 4
+            ).alias("mi"),
+            F.round(
+                (fxy_c - F.lit(f_x) * fy_c / F.lit(float(n_tokens)))
+                / F.sqrt(fxy_c),
+                4,
+            ).alias("t_score"),
+        )
+
     # ------------------------------------------------------------ BM25 --
     def query_terms(self, query: str) -> DataFrame:
         toks = list(dict.fromkeys(tokenize(query, self.cfg)))

@@ -21,6 +21,8 @@ Endpoints (mirroring server.go:115-158 query params):
     GET /kwic?corpus=<name>&q=<term or phrase>&width=3&offset=0&limit=10
         (concordance windows; needs a forward store configured for the
         corpus via ``docs={name: path}`` / CLI ``--docs name=path``)
+    GET /collocations?corpus=<name>&node=<term>&window=3&min_freq=3&limit=50
+        (log-Dice-ranked collocates; needs a forward store like /kwic)
 Response: {"size": N, "rows": [...], "searchTime": sec}
 """
 
@@ -178,6 +180,31 @@ class SearchService:
         return {"size": len(rows), "rows": rows, "cached": hit,
                 "searchTime": round(time.time() - t0, 4)}
 
+    def collocations(self, corpus: str, node: str, window: int,
+                     min_freq: int, limit: int) -> dict:
+        """Collocate page ranked by log-Dice (engine collocations)."""
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        si = self.indexes[corpus]
+
+        def compute() -> list:
+            res = si.collocations(
+                node, self._docs_df(corpus), window=window, min_freq=min_freq
+            )
+            return [
+                r.asDict()
+                for r in res.orderBy(F.desc("log_dice"), F.asc("collocate"))
+                .limit(limit)
+                .collect()
+            ]
+
+        rows, hit = self._cached(
+            ("collocations", corpus, node, window, min_freq, limit), compute
+        )
+        return {"size": len(rows), "rows": rows, "cached": hit,
+                "searchTime": round(time.time() - t0, 4)}
+
     # ------------------------------------------------------------ logic --
     def search(self, corpus: str, q: str, qtype: str, offset: int, limit: int,
                attrs: list[str]) -> dict:
@@ -331,6 +358,11 @@ class SearchService:
                         out = svc.kwic(
                             corpus, p("q", ""), int(p("width", "3")),
                             int(p("offset", "0")), int(p("limit", "10")),
+                        )
+                    elif u.path == "/collocations":
+                        out = svc.collocations(
+                            corpus, p("node", ""), int(p("window", "3")),
+                            int(p("min_freq", "3")), int(p("limit", "50")),
                         )
                     else:
                         self.send_error(404)

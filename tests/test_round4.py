@@ -1020,6 +1020,17 @@ def test_service_boolean_and_kwic_endpoints(spark, tmp_path):
         ]
         assert [(r["doc_id"], r["pos"]) for r in p2["rows"]] == all10[5:]
 
+        # /collocations: endpoint rows == direct engine call, same order
+        co = get(f"/collocations?corpus=main&node={t1}&window=2&min_freq=2&limit=5")
+        want_co = [
+            r.asDict()
+            for r in si.collocations(t1, docs, window=2, min_freq=2)
+            .orderBy(F.desc("log_dice"), F.asc("collocate"))
+            .limit(5)
+            .collect()
+        ]
+        assert co["rows"] == want_co and want_co
+
         # no forward store → 400 with a clear error, not a silent empty page
         try:
             get(f"/kwic?corpus=bare&q={t1}")
@@ -1057,3 +1068,61 @@ def test_postings_scan_prunes_block_columns(spark, tmp_path):
         rs = plan.split("ReadSchema:")[1].splitlines()[0]
         assert "max_score" not in rs and "sum_tf" not in rs, rs
         assert "docs" in rs and "tfs" in rs
+
+
+@pytest.mark.spark
+def test_collocations_vs_python_oracle(spark, small_index):
+    """Window co-occurrence counts and all three association measures
+    must match an exhaustive python computation for several windows,
+    including doc-edge truncation and min_freq filtering."""
+    import math
+
+    import numpy as np
+
+    from gloomy_spark.corpus import generate_pages_batch, pages_df
+    from gloomy_spark.textnorm import tokenize
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    local = generate_pages_batch(np.arange(120))
+    docs = pages_df(spark, 120, partitions=4).select("doc_id", "text")
+    toks_all = [tokenize(t, cfg) for t in local.text]
+    cf: dict[str, int] = {}
+    for ts in toks_all:
+        for t in ts:
+            cf[t] = cf.get(t, 0) + 1
+    n_tokens = sum(cf.values())
+    node = max(cf, key=lambda t: cf[t])  # most frequent real token
+    for window, min_freq in [(1, 1), (3, 2), (5, 1)]:
+        fxy: dict[str, int] = {}
+        for ts in toks_all:
+            for i, t in enumerate(ts):
+                if t != node:
+                    continue
+                for j in range(max(0, i - window), min(len(ts), i + window + 1)):
+                    if j != i:
+                        fxy[ts[j]] = fxy.get(ts[j], 0) + 1
+        f_x = cf[node]
+        want = {}
+        for y, f in fxy.items():
+            if f < min_freq:
+                continue
+            want[y] = (
+                f, cf[y],
+                round(14 + math.log2(2 * f / (f_x + cf[y])), 4),
+                round(math.log2(f * n_tokens / (f_x * cf[y])), 4),
+                round((f - f_x * cf[y] / n_tokens) / math.sqrt(f), 4),
+            )
+        got = {
+            r["collocate"]: (
+                r["f_xy"], r["f_y"], round(r["log_dice"], 4),
+                round(r["mi"], 4), round(r["t_score"], 4),
+            )
+            for r in small_index.collocations(
+                node, docs, window=window, min_freq=min_freq
+            ).collect()
+        }
+        assert got == want, (node, window, min_freq)
+    # unindexed node → empty; multi-token node → ValueError
+    assert small_index.collocations("zzz_absent", docs).count() == 0
+    with pytest.raises(ValueError):
+        small_index.collocations("two words", docs)
