@@ -123,6 +123,10 @@ def main() -> None:
         lambda: si.boolean_search(["scan", "filter"], (), ["slow"]).count(),
     )
     timed("q_kwic", lambda: si.kwic("data", docs, width=3).count())
+    timed(
+        "q_collocations",
+        lambda: si.collocations("data", docs, window=3, min_freq=3).count(),
+    )
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ---- operator suite from the driver registry ----
