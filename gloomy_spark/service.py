@@ -19,8 +19,10 @@ Endpoints (mirroring server.go:115-158 query params):
         (doc-set algebra over the index: AND over must, OR over should,
         NOT over must_not; rows ordered tf desc, doc_id asc)
     GET /kwic?corpus=<name>&q=<term or phrase>&width=3&offset=0&limit=10
+        [&attrs=url&attrs=lang]
         (concordance windows; needs a forward store configured for the
-        corpus via ``docs={name: path}`` / CLI ``--docs name=path``)
+        corpus via ``docs={name: path}`` / CLI ``--docs name=path``;
+        attrs= attaches per-doc metadata via the doc-attr LRU)
     GET /collocations?corpus=<name>&node=<term>&window=3&min_freq=3&limit=50
         (log-Dice-ranked collocates; needs a forward store like /kwic)
 Response: {"size": N, "rows": [...], "searchTime": sec}
@@ -159,11 +161,15 @@ class SearchService:
                 "searchTime": round(time.time() - t0, 4)}
 
     def kwic(self, corpus: str, q: str, width: int, offset: int,
-             limit: int) -> dict:
+             limit: int, attrs: list[str] | None = None) -> dict:
         """Concordance page (engine kwic): occurrences of the term/phrase
-        with context windows, ordered (doc_id, pos)."""
+        with context windows, ordered (doc_id, pos). ``attrs`` attaches
+        per-doc metadata to each row from the doc-attr LRU (one
+        pushed-down docs scan on cold ids — the /bm25?attrs= shape, no
+        extra full Spark job)."""
         t0 = time.time()
         si = self.indexes[corpus]
+        attrs = attrs or []
 
         def compute() -> list:
             res = si.kwic(q, self._docs_df(corpus), width=width).orderBy(
@@ -172,10 +178,14 @@ class SearchService:
             # offset+limit push down to the sort (TakeOrdered) — same
             # no-global-sort shape as SearchIndex.slice
             res = res.offset(offset).limit(limit) if offset else res.limit(limit)
-            return [r.asDict() for r in res.collect()]
+            rows = [r.asDict() for r in res.collect()]
+            if attrs and rows:
+                amap = si.doc_attrs([r["doc_id"] for r in rows], attrs)
+                rows = [{**r, **amap.get(r["doc_id"], {})} for r in rows]
+            return rows
 
         rows, hit = self._cached(
-            ("kwic", corpus, q, width, offset, limit), compute
+            ("kwic", corpus, q, width, offset, limit, tuple(attrs)), compute
         )
         return {"size": len(rows), "rows": rows, "cached": hit,
                 "searchTime": round(time.time() - t0, 4)}
@@ -358,6 +368,7 @@ class SearchService:
                         out = svc.kwic(
                             corpus, p("q", ""), int(p("width", "3")),
                             int(p("offset", "0")), int(p("limit", "10")),
+                            attrs,
                         )
                     elif u.path == "/collocations":
                         out = svc.collocations(

@@ -1020,6 +1020,10 @@ def test_service_boolean_and_kwic_endpoints(spark, tmp_path):
         ]
         assert [(r["doc_id"], r["pos"]) for r in p2["rows"]] == all10[5:]
 
+        # /kwic?attrs= attaches per-doc metadata from the doc-attr LRU
+        ka = get(f"/kwic?corpus=main&q={t1}&width=2&limit=3&attrs=doclen")
+        assert all("doclen" in r and r["doclen"] > 0 for r in ka["rows"]), ka
+
         # /collocations: endpoint rows == direct engine call, same order
         co = get(f"/collocations?corpus=main&node={t1}&window=2&min_freq=2&limit=5")
         want_co = [
