@@ -300,6 +300,7 @@ class SearchIndex:
         self._term_map: dict[str, tuple[int, float]] | None = None
         self._term_df: dict[str, int] = {}
         self._n_doc_buckets: int | None = None
+        self._total_cf: int | None = None  # corpus token count (Σ cf)
         # perfect scorer-partitioning state (see _perfect_scorer_partitioning)
         self._bucket_values: list[int] | None = None
         self._scorer_salt_cache: dict[int, object] = {}
@@ -890,9 +891,13 @@ class SearchIndex:
         if not row:
             return self.spark.createDataFrame([], out_schema)
         f_x = int(row[0]["cf"])
-        n_tokens = int(
-            self.terms.agg(F.sum("cf").alias("n")).collect()[0]["n"]
-        )
+        if self._total_cf is None:
+            # one tiny dictionary agg, amortized across the index's life
+            # (the dictionary is write-once, so the total never changes)
+            self._total_cf = int(
+                self.terms.agg(F.sum("cf").alias("n")).collect()[0]["n"]
+            )
+        n_tokens = self._total_cf
 
         from ..functions.text import tokens_col
 
