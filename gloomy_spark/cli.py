@@ -50,6 +50,10 @@ def _build_parser() -> argparse.ArgumentParser:
     bm.add_argument("--query", required=True)
     bm.add_argument("-k", type=int, default=10)
     bm.add_argument("--attrs", default="", help="metadata attrs to join")
+    bm.add_argument(
+        "--filter", default="",
+        help="attr:v1,v2 — faceted top-k restricted to matching docs",
+    )
 
     bo = sub.add_parser("boolean", help="boolean doc-set retrieval")
     bo.add_argument("--index", required=True)
@@ -239,7 +243,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from .query.engine import SearchIndex
 
         si = SearchIndex(spark, args.index)
-        hits = si.bm25_topk(args.query, args.k)
+        if args.filter:
+            fa, _, fv = args.filter.partition(":")
+            hits = si.bm25_topk_filtered(
+                args.query, args.k, fa, [v for v in fv.split(",") if v]
+            )
+        else:
+            hits = si.bm25_topk(args.query, args.k)
         attrs = [a for a in args.attrs.split(",") if a]
         if attrs:
             hits = si.with_doc_metadata(hits, attrs)

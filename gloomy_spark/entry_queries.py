@@ -235,6 +235,58 @@ def q_bm25_wand(query: str, k: int):
     return fn, _bm25_sql(qterms, k)
 
 
+def q_bm25_filtered(query: str, k: int, attr: str, values: list[str]):
+    """Faceted BM25: top-k restricted to docs with attr IN values —
+    corpus-wide idf/avgdl, filter applied to the result set only (see
+    SearchIndex.bm25_topk_filtered)."""
+    from .textnorm import tokenize
+
+    qterms = list(dict.fromkeys(tokenize(query, CFG)))
+    vals = ", ".join(f"'{v}'" for v in values)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        si = _index_for(spark, sf_dir)
+        # same rounded-tie overfetch contract as _rounded_topk_rows
+        m = 40
+        while True:
+            rows = (
+                si.bm25_topk_filtered(query, k + m, attr, values)
+                .select("doc_id", F.round("score", 4).alias("score"))
+                .collect()
+            )
+            rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+            if len(rows) < k + m or (
+                len(rows) >= k and rows[-1]["score"] < rows[k - 1]["score"]
+            ):
+                return spark.createDataFrame(rows[:k], "doc_id long, score double")
+            m *= 4
+
+    terms_values = ", ".join(f"('{t}')" for t in qterms)
+    sql = f"""WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qt AS (SELECT DISTINCT term FROM (VALUES {terms_values}) v(term)),
+allowed AS (SELECT doc_id FROM documents WHERE {attr} IN ({vals})),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / stats.avgdl)) ) AS score
+  FROM tf
+  JOIN allowed USING (doc_id)
+  JOIN qt USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scores ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
+    return fn, sql
+
+
 def q_bm25_batch(queries: list[str], k: int):
     """MANY queries scored in ONE Spark job (bm25_topk_batch) — the
     serving-throughput path; oracle = per-query BM25 SQL unioned with the
@@ -1454,6 +1506,9 @@ def registry() -> dict[str, tuple]:
         "kwic_term": q_kwic("data", 3),
         "kwic_phrase": q_kwic("merge group table", 2),
         "collocations": q_collocations("data", 3, min_freq=2),
+        "bm25_filtered": q_bm25_filtered(
+            "scan filter window", 10, "lang", ["en", "de"]
+        ),
         "bigram_index_counts": q_ngram_index_counts(2),
         "ngram_regexp_search": q_ngram_regexp(["s[ct]an", "(tab|col).*"]),
         # file-source roundtrips (S1 plaintext / S3 vertical / S4 charset)

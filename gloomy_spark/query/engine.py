@@ -993,6 +993,85 @@ class SearchIndex:
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def bm25_topk_filtered(
+        self, query: str, k: int, attr: str, values: list[str]
+    ) -> DataFrame:
+        """Faceted top-k BM25: rank only docs whose dimension attribute
+        ``attr`` is in ``values`` (e.g. lang='en'). IDF/avgdl stay
+        CORPUS-WIDE — the facet restricts the result set, not the
+        collection statistics (the conventional faceted-search contract;
+        scores equal the unfiltered scores of the surviving docs).
+
+        Scale shape: the allowed doc set comes from ONE pushed-down
+        docs-dimension scan (a dictionary-encoded parquet column filter
+        — PushedFilters, no corpus scan), bucketed by the same
+        doc_bucket as the segments, and COGROUPED with the query's
+        posting blocks: one shuffle per side, and inside each bucket the
+        scorer restricts decoded postings to the allowed ids before
+        accumulation. Exhaustive DAAT within buckets keeps the filtered
+        scorer rank-exact (block-max bounds remain valid under
+        filtering — removal only lowers true scores — but the sweep's
+        candidate thresholds are tuned for unfiltered density, so the
+        simple path is used here)."""
+        p = _Bm25Params(
+            k1=self.cfg.bm25.k1,
+            b=self.cfg.bm25.b,
+            avgdl=self.manifest.avgdl,
+            k=k,
+            use_blockmax=False,
+        )
+        qterms = self.query_terms(query)
+        cand = self.segments.join(F.broadcast(qterms), "term_id").select(
+            "doc_bucket", "first_doc", "last_doc", "n_docs", "max_score",
+            "docs", "tfs", "dls", "idf",
+        )
+        w = int(self.cfg.doc_bucket_width)
+        # exact int64 floor division (numpy // semantics, toward −∞) —
+        # float floor() would lose precision past 2^53
+        bucket = F.expr(
+            f"(doc_id div {w}) - (CASE WHEN doc_id < 0 "
+            f"AND doc_id % {w} != 0 THEN 1 ELSE 0 END)"
+        )
+        allowed = (
+            self.docs.where(_in_strings(attr, list(values)))
+            .select("doc_id", bucket.alias("doc_bucket"))
+        )
+
+        def score(cand_pdf: pd.DataFrame, allow_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"doc_id": [], "score": []})
+            if not len(cand_pdf) or not len(allow_pdf):
+                return empty
+            allow = np.sort(allow_pdf["doc_id"].to_numpy(np.int64))
+            docs_l, scores_l = [], []
+            for row in cand_pdf.to_dict("records"):
+                d, tf, dl = decode_posting_block(
+                    row["docs"], row["tfs"], row["dls"], int(row["n_docs"])
+                )
+                m = np.isin(d, allow, assume_unique=True)
+                if not m.any():
+                    continue
+                s = _score_arrays(
+                    tf[m].astype(np.float64), dl[m].astype(np.float64),
+                    np.float64(row["idf"]), p,
+                )
+                docs_l.append(d[m])
+                scores_l.append(s)
+            if not docs_l:
+                return empty
+            docs = np.concatenate(docs_l)
+            scores = np.concatenate(scores_l)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            tot = np.zeros(len(uniq))
+            np.add.at(tot, inv, scores)
+            return _topk_df(uniq, tot, p.k)
+
+        per_bucket = (
+            cand.groupby("doc_bucket")
+            .cogroup(allowed.groupby("doc_bucket"))
+            .applyInPandas(score, TOPK_SCHEMA)
+        )
+        return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     # driver-local serving fast path: total postings across the query's
     # terms must fit comfortably on the driver; heavier queries fall back
     # to the distributed scorer. 5M postings ≈ 120 MB decoded.

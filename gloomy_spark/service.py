@@ -11,7 +11,9 @@ Endpoints (mirroring server.go:115-158 query params):
         (qtype=regexp + a space-separated query = one anchored pattern
         per n-gram position, reference searchByRegexp semantics;
         attrs=… attaches per-(term, attr-values) occurrence counts)
-    GET /bm25?corpus=<name>&q=<terms>&k=10[&nrt=1]
+    GET /bm25?corpus=<name>&q=<terms>&k=10[&nrt=1][&filter=lang:en,de]
+        (filter=attr:v1,v2 — faceted top-k restricted to matching docs,
+        corpus-wide idf/avgdl; not combinable with nrt=1)
         (nrt=1 — for corpora configured as "index_dir@runs_dir" — scores
         over base ⊎ uncompacted streaming runs, exact vs a full rebuild;
         NRT cache entries are keyed on the run-set version)
@@ -260,9 +262,33 @@ class SearchService:
                 "searchTime": round(time.time() - t0, 4)}
 
     def bm25(self, corpus: str, q: str, k: int, attrs: list[str],
-             nrt: bool = False) -> dict:
+             nrt: bool = False,
+             attr_filter: tuple[str, tuple[str, ...]] | None = None) -> dict:
+        """attr_filter=(attr, values) serves FACETED top-k via
+        bm25_topk_filtered (corpus-wide statistics, result set restricted
+        to matching docs); mutually exclusive with nrt."""
         t0 = time.time()
         si = self.indexes[corpus]
+
+        if attr_filter:
+            if nrt:
+                raise ValueError("filter= and nrt=1 cannot be combined")
+            f_attr, f_vals = attr_filter[0], tuple(attr_filter[1])
+
+            def compute_filtered() -> list:
+                top = si.bm25_topk_filtered(q, k, f_attr, list(f_vals)).collect()
+                rows = [{"doc_id": r["doc_id"], "score": r["score"]} for r in top]
+                if attrs and rows:
+                    amap = si.doc_attrs([r["doc_id"] for r in rows], attrs)
+                    rows = [{**r, **amap.get(r["doc_id"], {})} for r in rows]
+                return rows
+
+            rows, hit = self._cached(
+                ("bm25-f", corpus, q, k, tuple(attrs), f_attr, f_vals),
+                compute_filtered,
+            )
+            return {"size": len(rows), "rows": rows, "cached": hit,
+                    "searchTime": round(time.time() - t0, 4)}
 
         if nrt:
             if corpus not in self.runs_dirs:
@@ -355,9 +381,15 @@ class SearchService:
                             int(p("offset", "0")), int(p("limit", "10")), attrs,
                         )
                     elif u.path == "/bm25":
+                        flt = p("filter")  # "attr:v1,v2" → faceted top-k
+                        af = None
+                        if flt:
+                            fa, _, fv = flt.partition(":")
+                            af = (fa, tuple(v for v in fv.split(",") if v))
                         out = svc.bm25(
                             corpus, p("q", ""), int(p("k", "10")), attrs,
                             nrt=p("nrt", "0") not in ("0", "", "false"),
+                            attr_filter=af,
                         )
                     elif u.path == "/boolean":
                         out = svc.boolean(

@@ -968,9 +968,9 @@ def test_service_boolean_and_kwic_endpoints(spark, tmp_path):
     cfg = EngineConfig(shuffle_partitions=4, doc_bucket_width=64)
     idx = str(tmp_path / "bkidx")
     fwd = str(tmp_path / "fwd.parquet")
-    docs = pages_df(spark, 60, partitions=2).select("doc_id", "text")
+    docs = pages_df(spark, 60, partitions=2).select("doc_id", "text", "lang")
     docs.write.parquet(fwd)
-    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=1)
+    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=1, lang_col="lang")
     svc = SearchService(spark, {"main": idx, "bare": idx}, docs={"main": fwd})
     port = svc.start()
     try:
@@ -1019,6 +1019,22 @@ def test_service_boolean_and_kwic_endpoints(spark, tmp_path):
             .collect()
         ]
         assert [(r["doc_id"], r["pos"]) for r in p2["rows"]] == all10[5:]
+
+        # /bm25?filter= serves faceted top-k == direct engine call
+        langs = sorted(
+            r["lang"] for r in si.docs.select("lang").distinct().collect()
+        )
+        fb = get(f"/bm25?corpus=main&q={t1}&k=5&filter=lang:{langs[0]}")
+        want_fb = [
+            {"doc_id": r["doc_id"], "score": r["score"]}
+            for r in si.bm25_topk_filtered(t1, 5, "lang", [langs[0]]).collect()
+        ]
+        assert fb["rows"] == want_fb and want_fb
+        allowed = {
+            r["doc_id"]
+            for r in si.docs.where(F.col("lang") == langs[0]).collect()
+        }
+        assert all(r["doc_id"] in allowed for r in fb["rows"])
 
         # /kwic?attrs= attaches per-doc metadata from the doc-attr LRU
         ka = get(f"/kwic?corpus=main&q={t1}&width=2&limit=3&attrs=doclen")
@@ -1130,3 +1146,50 @@ def test_collocations_vs_python_oracle(spark, small_index):
     assert small_index.collocations("zzz_absent", docs).count() == 0
     with pytest.raises(ValueError):
         small_index.collocations("two words", docs)
+
+
+@pytest.mark.spark
+def test_bm25_filtered_differential(spark, tmp_path):
+    """Faceted BM25 must equal 'unfiltered scores of the allowed docs':
+    exhaustive top-k over the allowed set, corpus-wide statistics. An
+    all-covering filter equals the unfiltered ranking; an empty facet is
+    empty."""
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=64, shuffle_partitions=8)
+    idx = str(tmp_path / "fidx")
+    docs = pages_df(spark, 120, partitions=4).select("doc_id", "text", "lang")
+    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=2, lang_col="lang")
+    si = SearchIndex(spark, idx)
+    langs = sorted(r["lang"] for r in si.docs.select("lang").distinct().collect())
+    assert len(langs) >= 2
+    q = si.terms.orderBy(F.desc("df")).first()["term"] + " " + (
+        si.terms.orderBy(F.asc("df")).first()["term"]
+    )
+    allowed_langs = langs[:1]
+    allowed_ids = {
+        r["doc_id"]
+        for r in si.docs.where(F.col("lang").isin(allowed_langs)).collect()
+    }
+    # exhaustive reference: all scores, keep allowed, top-10
+    full = si.bm25_topk(q, k=10**6, use_blockmax=False).collect()
+    want = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in full
+        if r["doc_id"] in allowed_ids
+    ][:10]
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in si.bm25_topk_filtered(q, 10, "lang", allowed_langs).collect()
+    ]
+    assert got == want and got
+    # all-covering filter == unfiltered ranking
+    got_all = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in si.bm25_topk_filtered(q, 10, "lang", langs).collect()
+    ]
+    assert got_all == [(r["doc_id"], round(r["score"], 6)) for r in full[:10]]
+    # facet matching nothing → empty
+    assert si.bm25_topk_filtered(q, 10, "lang", ["xx"]).count() == 0
