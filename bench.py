@@ -127,6 +127,12 @@ def main() -> None:
         "q_collocations",
         lambda: si.collocations("data", docs, window=3, min_freq=3).count(),
     )
+    timed(
+        "q_bm25_filtered",
+        lambda: si.bm25_topk_filtered(
+            "scan filter window", 10, "lang", ["en", "de"]
+        ).collect(),
+    )
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     # ---- operator suite from the driver registry ----
