@@ -1,6 +1,9 @@
-"""Round-4 closures: true-LRU posting cache, doc_attrs race contract,
-read_pages dispatch, segment-writer loud bounds, inverter-backed
-incremental ingest, LSH store fingerprint, doc_id collision check."""
+"""Round-4 closures and new query operators: true-LRU posting cache,
+doc_attrs race contract, read_pages dispatch, segment-writer loud
+bounds, inverter-backed incremental ingest, LSH store fingerprint,
+doc_id collision check; boolean doc-set retrieval, KWIC concordance,
+collocation measures, faceted BM25 (engine + service endpoints), and
+the posting-scan column-pruning plan audit."""
 
 from __future__ import annotations
 
