@@ -175,11 +175,25 @@ def main() -> None:
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    # Embed HEADLINE scaling fields only. Round 4 embedded the whole files
+    # (epoch_history + prose notes) and the single stdout line outgrew the
+    # driver's tail capture, leaving BENCH_r04.json unparsed — the full
+    # records stay in BENCH/*.json; this line must stay machine-readable.
+    _headline = (
+        "docs", "n_cores", "4n_cores", "build_sec_n", "build_sec_4n",
+        "docs_per_sec_n", "docs_per_sec_4n", "scaling_efficiency",
+        "batch_queries", "batch_query_sec_n", "batch_query_sec_4n",
+        "batch_queries_per_sec_n", "batch_queries_per_sec_4n",
+        "batch_query_scaling_efficiency", "concurrent_queries",
+        "concurrent_query_sec_n", "concurrent_query_sec_4n",
+        "concurrent_query_scaling_efficiency",
+    )
     for key, fname in (("scaling", "scaling.json"), ("query_scaling", "query_scaling.json")):
         p = os.path.join(bench_dir, fname)
         if os.path.exists(p):
             with open(p) as f:
-                extra[key] = json.load(f)
+                full = json.load(f)
+            extra[key] = {k: full[k] for k in _headline if k in full}
 
     total = round(sum(timings.values()), 2)
     print(

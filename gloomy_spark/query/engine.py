@@ -108,7 +108,16 @@ def _in_longs(col: str, vals) -> "F.Column":
         return F.lit(False)
     if len(vs) <= 64:
         return F.col(col).isin(vs)
-    return F.expr(f"{col} IN ({','.join(map(str, vs))})")
+    return F.expr(f"{_quote_ident(col)} IN ({','.join(map(str, vs))})")
+
+
+def _quote_ident(col: str) -> str:
+    """Backtick-quote a column identifier for interpolation into F.expr.
+    Values were always escaped; the identifier must be too, otherwise a
+    caller-supplied column name (e.g. an HTTP facet attr) becomes an SQL
+    injection point into the serving session once the >64-value path
+    switches from Column.isin to a parsed expression."""
+    return "`" + col.replace("`", "``") + "`"
 
 
 def _in_strings(col: str, vals) -> "F.Column":
@@ -121,7 +130,7 @@ def _in_strings(col: str, vals) -> "F.Column":
     quoted = ",".join(
         "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'" for v in vs
     )
-    return F.expr(f"{col} IN ({quoted})")
+    return F.expr(f"{_quote_ident(col)} IN ({quoted})")
 
 
 @dataclass
@@ -413,6 +422,11 @@ class SearchIndex:
         return hits.join(F.broadcast(dim), "doc_id", "left")
 
     _DOC_ATTR_CACHE_MAX = 100_000
+    # term_attr_counts fallback: max summed df of the requested page's
+    # terms for which broadcasting the postings side is allowed (~rows;
+    # 2M posting rows ≈ tens of MB — well under a sane broadcast bound).
+    # Above this the join shuffles instead.
+    _ATTR_COUNT_BROADCAST_MAX_DF = 2_000_000
 
     def doc_attrs(
         self, doc_ids: list[int], attrs: list[str] | None = None
@@ -489,9 +503,20 @@ class SearchIndex:
         cols = [c for c in attrs if c in self.docs.columns]
         posts = self.postings_multi(lowered).select("term", "doc_id", "tf")
         dim = self.docs.select("doc_id", *cols)
+        # broadcast is only safe while the postings side is small; a head
+        # term in the requested page (no rollup covering it) can carry
+        # O(corpus) postings, which must NOT be broadcast. df is free from
+        # the dictionary, so guard on it and fall back to a shuffle join.
+        total_df = sum(
+            int(r["df"])
+            for r in self.terms.where(_in_strings("term", lowered))
+            .select("df")
+            .collect()
+        )
+        if total_df <= self._ATTR_COUNT_BROADCAST_MAX_DF:
+            posts = F.broadcast(posts)
         return (
-            F.broadcast(posts)
-            .join(dim, "doc_id")
+            posts.join(dim, "doc_id")
             .groupBy("term", *cols)
             .agg(F.sum("tf").cast("long").alias("count"))
         )
@@ -583,6 +608,14 @@ class SearchIndex:
 
     def postings_positions(self, term: str) -> DataFrame:
         """Posting list with decoded positions: (doc_id, tf, positions)."""
+        if not self.cfg.store_positions:
+            # fail loud and early: without this the scan raises a cryptic
+            # missing-column AnalysisException (pos_counts/positions).
+            # Guards kwic's single-term path and collocations too.
+            raise ValueError(
+                "positions retrieval (kwic/collocations/term_positions) "
+                "requires an index built with store_positions=True"
+            )
         tid_rows = self.search_exact(term).select("term_id").collect()
         if not tid_rows:
             return self.spark.createDataFrame(
@@ -835,10 +868,22 @@ class SearchIndex:
         from ..functions.text import tokens_col
 
         w = F.lit(int(width))
-        joined = docs.select("doc_id", "text").join(hits, "doc_id").select(
-            "doc_id",
-            F.explode("positions").alias("pos"),
-            tokens_col(F.col("text"), self.cfg).alias("_toks"),
+        # _toks is materialized in a projection BELOW the explode: Generate
+        # re-evaluates sibling expressions once per emitted element, so a
+        # same-projection tokens_col would re-tokenize the doc once per hit
+        # (tf(query, doc) times). A separate select keeps split() under the
+        # Generate node (CollapseProject cannot merge across Generate — the
+        # child projection is requiredChildOutput); pinned by
+        # test_kwic_tokenizes_below_explode.
+        joined = (
+            docs.select("doc_id", "text")
+            .join(hits, "doc_id")
+            .select(
+                "doc_id",
+                "positions",
+                tokens_col(F.col("text"), self.cfg).alias("_toks"),
+            )
+            .select("doc_id", F.explode("positions").alias("pos"), "_toks")
         )
         start1 = F.col("pos") + 1  # 1-based index of the match start
         return joined.select(
@@ -903,9 +948,13 @@ class SearchIndex:
 
         w = F.lit(int(window))
         hits = self.postings_positions(node_term).select("doc_id", "positions")
-        j = docs.select("doc_id", "text").join(hits, "doc_id").select(
-            F.explode("positions").alias("pos"),
-            tokens_col(F.col("text"), self.cfg).alias("_toks"),
+        # tokenize once per matched doc, not once per node occurrence — see
+        # the kwic comment above (same Generate re-evaluation trap).
+        j = (
+            docs.select("doc_id", "text")
+            .join(hits, "doc_id")
+            .select("positions", tokens_col(F.col("text"), self.cfg).alias("_toks"))
+            .select(F.explode("positions").alias("pos"), "_toks")
         )
         start1 = F.col("pos") + 1
         ctx = j.select(
@@ -1013,6 +1062,15 @@ class SearchIndex:
         filtering — removal only lowers true scores — but the sweep's
         candidate thresholds are tuned for unfiltered density, so the
         simple path is used here)."""
+        # attr arrives unvalidated from /bm25?filter=attr:v1,… — reject
+        # anything that is not an actual docs-dimension column BEFORE it
+        # reaches an expression builder (defense in depth on top of the
+        # identifier quoting in _in_strings).
+        if attr not in self.docs.columns:
+            raise KeyError(
+                f"unknown facet attribute {attr!r}; "
+                f"available: {sorted(self.docs.columns)}"
+            )
         p = _Bm25Params(
             k1=self.cfg.bm25.k1,
             b=self.cfg.bm25.b,

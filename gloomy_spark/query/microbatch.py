@@ -84,7 +84,10 @@ class Bm25MicroBatcher:
             self._cv.notify_all()
         req.event.wait()
         if req.error is not None:
-            raise req.error
+            # wrap per caller: a failed batch scatters ONE exception object
+            # to every waiting thread, and concurrent bare re-raises mutate
+            # the shared traceback/__context__ across threads
+            raise RuntimeError(f"micro-batch failed: {req.error}") from req.error
         return req.result
 
     def close(self) -> None:
@@ -124,7 +127,12 @@ class Bm25MicroBatcher:
                     if remaining <= 0:
                         break
                     self._cv.wait(remaining)
-                batch, self._pending = self._pending, []
+                # honor max_batch as a real size cap: a burst larger than
+                # the cap is split, the remainder staying queued for the
+                # next (immediately-started) batch instead of running as
+                # one oversized job
+                batch = self._pending[: self.max_batch]
+                self._pending = self._pending[self.max_batch :]
             # the Spark job runs OUTSIDE the lock: arrivals during the job
             # queue up and form the next (adaptively larger) batch
             try:
