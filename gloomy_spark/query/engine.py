@@ -177,97 +177,118 @@ def _bucket_scorer(p: _Bm25Params):
             return d, s
 
         if not p.use_blockmax:
-            # brute-force DAAT: decode everything, scatter-add, top-k
-            all_d = []
-            all_s = []
-            for i in range(n_blocks):
-                d, s = decode_block(i)
-                all_d.append(d)
-                all_s.append(s)
-            docs = np.concatenate(all_d)
-            scores = np.concatenate(all_s)
-            uniq, inv = np.unique(docs, return_inverse=True)
-            tot = np.zeros(len(uniq))
-            np.add.at(tot, inv, scores)
-            return _topk_df(uniq, tot, p.k)
-
-        # ---- block-max sweep -------------------------------------------
-        # piecewise-constant upper bound over doc ranges from metadata only
-        ev_pos = np.concatenate([first, last + 1])
-        ev_val = np.concatenate([bmax, -bmax])
-        ev_cnt = np.concatenate(
-            [np.ones(n_blocks, np.int64), -np.ones(n_blocks, np.int64)]
-        )
-        order = np.argsort(ev_pos, kind="stable")
-        ev_pos, ev_val, ev_cnt = ev_pos[order], ev_val[order], ev_cnt[order]
-        # merge events at equal positions
-        bounds, idx = np.unique(ev_pos, return_index=True)
-        seg_ub = np.add.reduceat(ev_val, idx).cumsum()
-        # open-block count tells us exactly where the +x/−x cumsum should
-        # cancel to zero: no magnitude epsilon, so legitimately tiny
-        # max_scores (idf→0 at df≈N) are never dropped. Where blocks ARE
-        # open, inflate the bound by one relative ulp-scale step so float
-        # cancellation error can only weaken pruning, never skip a block.
-        seg_open = np.add.reduceat(ev_cnt, idx).cumsum()
-        # segment i covers [bounds[i], bounds[i+1]); last event closes all
-        seg_starts = bounds[:-1]
-        seg_ends = bounds[1:]
-        seg_ub = seg_ub[:-1]
-        seg_open = seg_open[:-1]
-        pad = 1e-9 * float(np.abs(bmax).max()) if n_blocks else 0.0
-        seg_ub = np.where(seg_open > 0, seg_ub + pad, 0.0)
-
-        live = seg_open > 0
-        seg_starts, seg_ends, seg_ub = seg_starts[live], seg_ends[live], seg_ub[live]
-        ub_order = np.argsort(-seg_ub, kind="stable")
-
-        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
-        theta = -np.inf
-        scored_docs: set[int] = set()
-
-        for si in ub_order:
-            # strict '<' so an exact tie with θ is still examined (the
-            # smaller doc_id must win the tie-break deterministically)
-            if len(heap) >= p.k and seg_ub[si] < theta:
-                break
-            lo, hi = seg_starts[si], seg_ends[si]
-            # all blocks overlapping [lo, hi)
-            blk = np.nonzero((first < hi) & (last >= lo))[0]
-            docs_l, scores_l = [], []
-            for i in blk:
-                if i not in decoded:
-                    decoded[i] = decode_block(int(i))
-                d, s = decoded[i]
-                m = (d >= lo) & (d < hi)
-                docs_l.append(d[m])
-                scores_l.append(s[m])
-            if not docs_l:
-                continue
-            docs = np.concatenate(docs_l)
-            scores = np.concatenate(scores_l)
-            uniq, inv = np.unique(docs, return_inverse=True)
-            tot = np.zeros(len(uniq))
-            np.add.at(tot, inv, scores)
-            for d, s in zip(uniq.tolist(), tot.tolist()):
-                if d in scored_docs:
-                    continue
-                scored_docs.add(d)
-                item = (s, -d)  # tie-break: higher doc_id evicted first
-                if len(heap) < p.k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-            if len(heap) >= p.k:
-                theta = heap[0][0]
-
-        if not heap:
-            return pd.DataFrame({"doc_id": [], "score": []})
-        out_docs = np.array([-d for _, d in heap], dtype=np.int64)
-        out_scores = np.array([s for s, _ in heap])
-        return pd.DataFrame({"doc_id": out_docs, "score": out_scores})
+            return _exhaustive_topk(n_blocks, decode_block, p.k)
+        return _blockmax_sweep(first, last, bmax, decode_block, p)
 
     return score
+
+
+def _exhaustive_topk(n_blocks: int, decode_block, k: int) -> pd.DataFrame:
+    """Brute-force DAAT: decode everything, scatter-add, top-k."""
+    all_d = []
+    all_s = []
+    for i in range(n_blocks):
+        d, s = decode_block(i)
+        if len(d):
+            all_d.append(d)
+            all_s.append(s)
+    if not all_d:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    docs = np.concatenate(all_d)
+    scores = np.concatenate(all_s)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    tot = np.zeros(len(uniq))
+    np.add.at(tot, inv, scores)
+    return _topk_df(uniq, tot, k)
+
+
+def _blockmax_sweep(
+    first: np.ndarray, last: np.ndarray, bmax: np.ndarray, decode_block, p: _Bm25Params
+) -> pd.DataFrame:
+    """Exact block-max top-k sweep over one bucket's posting blocks.
+
+    ``decode_block(i) -> (doc_ids, scores)`` may return FEWER docs than
+    the block holds (e.g. a facet allow-mask applied after decode): block
+    metadata bounds stay valid upper bounds because filtering only
+    removes candidates — it can never raise a true score above
+    max_score. The sweep stays rank-exact in that case."""
+    n_blocks = len(first)
+    # piecewise-constant upper bound over doc ranges from metadata only
+    ev_pos = np.concatenate([first, last + 1])
+    ev_val = np.concatenate([bmax, -bmax])
+    ev_cnt = np.concatenate(
+        [np.ones(n_blocks, np.int64), -np.ones(n_blocks, np.int64)]
+    )
+    order = np.argsort(ev_pos, kind="stable")
+    ev_pos, ev_val, ev_cnt = ev_pos[order], ev_val[order], ev_cnt[order]
+    # merge events at equal positions
+    bounds, idx = np.unique(ev_pos, return_index=True)
+    seg_ub = np.add.reduceat(ev_val, idx).cumsum()
+    # open-block count tells us exactly where the +x/−x cumsum should
+    # cancel to zero: no magnitude epsilon, so legitimately tiny
+    # max_scores (idf→0 at df≈N) are never dropped. Where blocks ARE
+    # open, inflate the bound by one relative ulp-scale step so float
+    # cancellation error can only weaken pruning, never skip a block.
+    seg_open = np.add.reduceat(ev_cnt, idx).cumsum()
+    # segment i covers [bounds[i], bounds[i+1]); last event closes all
+    seg_starts = bounds[:-1]
+    seg_ends = bounds[1:]
+    seg_ub = seg_ub[:-1]
+    seg_open = seg_open[:-1]
+    pad = 1e-9 * float(np.abs(bmax).max()) if n_blocks else 0.0
+    seg_ub = np.where(seg_open > 0, seg_ub + pad, 0.0)
+
+    live = seg_open > 0
+    seg_starts, seg_ends, seg_ub = seg_starts[live], seg_ends[live], seg_ub[live]
+    ub_order = np.argsort(-seg_ub, kind="stable")
+
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    heap: list[tuple[float, int]] = []  # min-heap of (score, -doc_id)
+    theta = -np.inf
+    scored_docs: set[int] = set()
+
+    for si in ub_order:
+        # strict '<' so an exact tie with θ is still examined (the
+        # smaller doc_id must win the tie-break deterministically)
+        if len(heap) >= p.k and seg_ub[si] < theta:
+            break
+        lo, hi = seg_starts[si], seg_ends[si]
+        # all blocks overlapping [lo, hi)
+        blk = np.nonzero((first < hi) & (last >= lo))[0]
+        docs_l, scores_l = [], []
+        for i in blk:
+            if i not in decoded:
+                decoded[i] = decode_block(int(i))
+            d, s = decoded[i]
+            m = (d >= lo) & (d < hi)
+            docs_l.append(d[m])
+            scores_l.append(s[m])
+        if not docs_l:
+            continue
+        docs = np.concatenate(docs_l)
+        scores = np.concatenate(scores_l)
+        if not len(docs):
+            continue
+        uniq, inv = np.unique(docs, return_inverse=True)
+        tot = np.zeros(len(uniq))
+        np.add.at(tot, inv, scores)
+        for d, s in zip(uniq.tolist(), tot.tolist()):
+            if d in scored_docs:
+                continue
+            scored_docs.add(d)
+            item = (s, -d)  # tie-break: higher doc_id evicted first
+            if len(heap) < p.k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        if len(heap) >= p.k:
+            theta = heap[0][0]
+
+    if not heap:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    out_docs = np.array([-d for _, d in heap], dtype=np.int64)
+    out_scores = np.array([s for s, _ in heap])
+    return pd.DataFrame({"doc_id": out_docs, "score": out_scores})
 
 
 def _topk_arrays(
@@ -1042,8 +1063,18 @@ class SearchIndex:
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    # facet-aware block-max (r4 verdict next #4): inside a bucket the
+    # sweep only pays off when the allow set is dense enough for θ to
+    # fill quickly (sparse facets leave θ at −inf while the sweep decodes
+    # everything the exhaustive path would, plus sweep overhead) and
+    # there are enough blocks for pruning to skip any. Density is
+    # |allowed ∩ bucket| / bucket_width, known exactly per cogroup.
+    _FACET_SWEEP_MIN_DENSITY = 0.05
+    _FACET_SWEEP_MIN_BLOCKS = 8
+
     def bm25_topk_filtered(
-        self, query: str, k: int, attr: str, values: list[str]
+        self, query: str, k: int, attr: str, values: list[str],
+        use_blockmax: bool | None = None,
     ) -> DataFrame:
         """Faceted top-k BM25: rank only docs whose dimension attribute
         ``attr`` is in ``values`` (e.g. lang='en'). IDF/avgdl stay
@@ -1057,11 +1088,15 @@ class SearchIndex:
         doc_bucket as the segments, and COGROUPED with the query's
         posting blocks: one shuffle per side, and inside each bucket the
         scorer restricts decoded postings to the allowed ids before
-        accumulation. Exhaustive DAAT within buckets keeps the filtered
-        scorer rank-exact (block-max bounds remain valid under
-        filtering — removal only lowers true scores — but the sweep's
-        candidate thresholds are tuned for unfiltered density, so the
-        simple path is used here)."""
+        accumulation.
+
+        ``use_blockmax=None`` (default) picks PER BUCKET between the
+        exhaustive DAAT pass and a facet-aware block-max sweep: block
+        max_score stays a valid upper bound under filtering (removal only
+        lowers true scores), so the sweep is rank-exact with the
+        allow-mask folded into block decode; it engages when the bucket's
+        allowed-doc density and block count clear the thresholds above.
+        Pass True/False to force one path (the differential test does)."""
         # attr arrives unvalidated from /bm25?filter=attr:v1,… — reject
         # anything that is not an actual docs-dimension column BEFORE it
         # reaches an expression builder (defense in depth on top of the
@@ -1076,7 +1111,7 @@ class SearchIndex:
             b=self.cfg.bm25.b,
             avgdl=self.manifest.avgdl,
             k=k,
-            use_blockmax=False,
+            use_blockmax=bool(use_blockmax),
         )
         qterms = self.query_terms(query)
         cand = self.segments.join(F.broadcast(qterms), "term_id").select(
@@ -1095,33 +1130,50 @@ class SearchIndex:
             .select("doc_id", bucket.alias("doc_bucket"))
         )
 
+        force = use_blockmax
+        min_density = self._FACET_SWEEP_MIN_DENSITY
+        min_blocks = self._FACET_SWEEP_MIN_BLOCKS
+
         def score(cand_pdf: pd.DataFrame, allow_pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"doc_id": [], "score": []})
-            if not len(cand_pdf) or not len(allow_pdf):
+            n_blocks = len(cand_pdf)
+            if not n_blocks or not len(allow_pdf):
                 return empty
             allow = np.sort(allow_pdf["doc_id"].to_numpy(np.int64))
-            docs_l, scores_l = [], []
-            for row in cand_pdf.to_dict("records"):
+            first = cand_pdf["first_doc"].to_numpy(np.int64)
+            last = cand_pdf["last_doc"].to_numpy(np.int64)
+            bmax = cand_pdf["max_score"].to_numpy(np.float64)
+            docs_a = cand_pdf["docs"].to_numpy()
+            tfs_a = cand_pdf["tfs"].to_numpy()
+            dls_a = cand_pdf["dls"].to_numpy()
+            nd_a = cand_pdf["n_docs"].to_numpy()
+            idf_a = cand_pdf["idf"].to_numpy(np.float64)
+            eint = np.empty(0, np.int64)
+            efloat = np.empty(0, np.float64)
+
+            def decode_block(i: int) -> tuple[np.ndarray, np.ndarray]:
                 d, tf, dl = decode_posting_block(
-                    row["docs"], row["tfs"], row["dls"], int(row["n_docs"])
+                    docs_a[i], tfs_a[i], dls_a[i], int(nd_a[i])
                 )
                 m = np.isin(d, allow, assume_unique=True)
                 if not m.any():
-                    continue
+                    return eint, efloat
                 s = _score_arrays(
                     tf[m].astype(np.float64), dl[m].astype(np.float64),
-                    np.float64(row["idf"]), p,
+                    np.float64(idf_a[i]), p,
                 )
-                docs_l.append(d[m])
-                scores_l.append(s)
-            if not docs_l:
-                return empty
-            docs = np.concatenate(docs_l)
-            scores = np.concatenate(scores_l)
-            uniq, inv = np.unique(docs, return_inverse=True)
-            tot = np.zeros(len(uniq))
-            np.add.at(tot, inv, scores)
-            return _topk_df(uniq, tot, p.k)
+                return d[m], s
+
+            if force is None:
+                sweep = (
+                    n_blocks >= min_blocks
+                    and len(allow) >= min_density * w
+                )
+            else:
+                sweep = force
+            if sweep:
+                return _blockmax_sweep(first, last, bmax, decode_block, p)
+            return _exhaustive_topk(n_blocks, decode_block, p.k)
 
         per_bucket = (
             cand.groupby("doc_bucket")

@@ -258,3 +258,52 @@ def test_term_attr_counts_shuffle_fallback(small_index, monkeypatch, tmp_path):
     assert "ResolvedHint" not in plan, "head-term page still broadcast"
     assert canon(guarded) == want
     assert len(want) > 0
+
+
+# ------------------------------------------------ facet-aware block-max --
+
+
+@pytest.mark.spark
+def test_bm25_filtered_sweep_differential(small_index):
+    """The facet-aware block-max sweep must be rank-identical to the
+    exhaustive filtered pass (block bounds stay valid upper bounds under
+    the allow-mask) across facet selectivities, including a facet that
+    matches everything and one that matches nothing."""
+    si = small_index
+    langs = [r["lang"] for r in si.docs.select("lang").distinct().collect()]
+    cases = [
+        ("a the data", 10, "lang", langs),        # everything allowed
+        ("a the data", 10, "lang", langs[:1]),    # one language
+        ("merge join scan", 5, "lang", langs[1:2] if len(langs) > 1 else langs),
+        ("a", 3, "lang", ["zz_absent"]),          # nothing allowed
+    ]
+    for q, k, attr, vals in cases:
+        def canon(df):
+            return [
+                (r["doc_id"], round(r["score"], 9)) for r in df.collect()
+            ]
+        exhaustive = canon(si.bm25_topk_filtered(q, k, attr, vals, use_blockmax=False))
+        sweep = canon(si.bm25_topk_filtered(q, k, attr, vals, use_blockmax=True))
+        auto = canon(si.bm25_topk_filtered(q, k, attr, vals))
+        assert sweep == exhaustive, (q, vals)
+        assert auto == exhaustive, (q, vals)
+
+
+@pytest.mark.spark
+def test_bm25_filtered_matches_unfiltered_on_full_facet(small_index):
+    """With every doc allowed, both filtered paths must equal plain
+    bm25_topk scores exactly (corpus-wide stats contract)."""
+    si = small_index
+    langs = [r["lang"] for r in si.docs.select("lang").distinct().collect()]
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in si.bm25_topk("scan filter window the", 10).collect()
+    ]
+    for bm in (False, True):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in si.bm25_topk_filtered(
+                "scan filter window the", 10, "lang", langs, use_blockmax=bm
+            ).collect()
+        ]
+        assert got == want, bm
