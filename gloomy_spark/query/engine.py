@@ -97,6 +97,18 @@ def _spark_hash_bqs(b: int, q: int, s: int) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
+def _spark_hash_bs(b: int, s: int) -> int:
+    """Signed-int32 value of F.hash(doc_bucket long, psalt int) — the
+    serving view's 2-column layout (qgrp dropped: a CONSTANT key column
+    is folded out of the cached partitioning expression, which then no
+    longer satisfies the scorer's clustering requirement and re-inserts
+    the very exchange the view exists to remove — verified empirically
+    on persisted repartition + applyInPandas)."""
+    h = _spark_hash_long(b, 42)
+    h = _spark_hash_int(s, h)
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
 def _in_longs(col: str, vals) -> "F.Column":
     """``col IN (...)`` over integer values as ONE py4j round-trip.
     ``Column.isin`` builds a java literal per element (~1 ms each — 0.8 s
@@ -334,6 +346,10 @@ class SearchIndex:
         # perfect scorer-partitioning state (see _perfect_scorer_partitioning)
         self._bucket_values: list[int] | None = None
         self._scorer_salt_cache: dict[int, object] = {}
+        # persisted pre-partitioned segments view for batch serving
+        # (see _batch_serving_view); built lazily on the first batch
+        self._serving_view: tuple[DataFrame, list[str]] | None = None
+        self._serving_view_lock = threading.Lock()
         # decoded-postings LRU for the driver-local serving fast path (the
         # analog of the reference preloading col0 into RAM, index.go:502-504).
         # Served from ThreadingHTTPServer threads, so all lookup/insert/
@@ -1044,6 +1060,15 @@ class SearchIndex:
             idf_map = F.create_map(
                 *[F.lit(x) for t in toks for x in self._term_map[t]]
             )
+            # NOTE: the single-query path deliberately does NOT use the
+            # persisted serving view — measured SLOWER (0.45 s → 0.85 s at
+            # 10 buckets / local[4]): a lone query leaves most bucket
+            # partitions empty after the term filter, yet each still runs
+            # a grouped-python task (~90 ms protocol overhead apiece),
+            # while the pushed-down parquet scan reads only the query's
+            # term blocks and AQE coalesces the tiny shuffle to 1-2 tasks.
+            # The view wins exactly when most partitions carry real work —
+            # the many-query batch path below.
             cand = (
                 self.segments.where(_in_longs("term_id", ids))
                 .withColumn("idf", idf_map[F.col("term_id")])
@@ -1337,6 +1362,86 @@ class SearchIndex:
         self._scorer_salt_cache[Q] = (g, salt_rows)
         return self._scorer_salt_cache[Q]
 
+    def _batch_serving_view(self) -> tuple[DataFrame, list[str]] | None:
+        """Persisted segments view pre-partitioned in the batch scorer's
+        exact grouped layout (r4 verdict next #5: 'reuse what is reusable
+        across batches').
+
+        Every batch previously re-ran parquet scan → shuffle of the
+        queried posting blocks; for serving workloads (many batches over
+        one write-once index) that scan+shuffle is the dominant FIXED
+        per-batch cost. The index's bucket layout is batch-independent
+        when Q == 1 (the common regime: query-group salting only engages
+        when cores > doc buckets), so the repartitioned block set can be
+        persisted ONCE; each batch then runs a narrow in-memory filter on
+        term_id and the grouped scorer directly — applyInPandas's
+        ClusteredDistribution requirement is satisfied by the persisted
+        hash partitioning, so the per-batch plan has NO exchange before
+        scoring.
+
+        Memory: comparable to the segments cache itself (MEMORY_AND_DISK,
+        spills gracefully). At 10^12 docs a serving shard persists only
+        its own buckets — exactly how the doc_bucket sharding splits the
+        index. Built lazily on the first batch; requires .cache()."""
+        with self._serving_view_lock:
+            if self._serving_view is not None:
+                return self._serving_view
+            # the view carries ONLY real data columns: a constant key
+            # column (qgrp≡0 at Q==1) is constant-folded out of the cached
+            # partitioning expression, after which the scorer's clustering
+            # requirement no longer matches and Spark re-inserts the
+            # exchange — see _spark_hash_bs
+            base = self.segments.select(
+                "doc_bucket", "term_id", "first_doc", "last_doc", "n_docs",
+                "docs", "tfs", "dls",
+            )
+            salts = self._view_salts()
+            if salts:
+                n_parts, salt_rows = salts
+                sentries = ", ".join(f"{b}L, {s}" for b, s in salt_rows)
+                psalt = F.expr(f"map({sentries})[doc_bucket]")
+                view = base.withColumn("psalt", psalt).repartition(
+                    n_parts, "doc_bucket", "psalt"
+                )
+                keys = ["doc_bucket", "psalt"]
+            else:
+                sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+                nb = self._n_doc_buckets
+                sp_eff = min(sp, 2 * nb) if nb else sp
+                view = base.repartition(sp_eff, "doc_bucket")
+                keys = ["doc_bucket"]
+            view = view.persist()
+            view.count()  # materialize once, off the query path
+            self._serving_view = (view, keys)
+            return self._serving_view
+
+    def _view_salts(self) -> tuple[int, list[tuple[int, int]]] | None:
+        """Perfect (collision-free) bucket→partition placement for the
+        serving view's 2-column (doc_bucket, psalt) layout; same greedy
+        construction and applicability bounds as
+        _perfect_scorer_partitioning, with the 2-column murmur3 replica."""
+        nb = self._n_doc_buckets
+        if not nb or nb > 64:
+            return None
+        if self._bucket_values is None:
+            self._bucket_values = sorted(
+                int(r["doc_bucket"])
+                for r in self.segments.select("doc_bucket").distinct().collect()
+            )
+        g = len(self._bucket_values)
+        used: set[int] = set()
+        salt_rows: list[tuple[int, int]] = []
+        for b in self._bucket_values:
+            for s in range(8 * g):
+                slot = _spark_hash_bs(b, s) % g
+                if slot not in used:
+                    used.add(slot)
+                    salt_rows.append((b, s))
+                    break
+            else:
+                return None
+        return (g, salt_rows)
+
     def bm25_topk_batch(
         self, queries: list[str], k: int = 10, use_blockmax: bool = True
     ) -> DataFrame:
@@ -1539,6 +1644,32 @@ class SearchIndex:
                     "doc_id": np.concatenate(out_doc),
                     "score": np.concatenate(out_score),
                 }
+            )
+
+        import os as _os
+
+        if (
+            Q == 1
+            and self._n_doc_buckets
+            and _os.environ.get("GLOOMY_SERVING_VIEW", "1") != "0"
+        ):
+            # serving fast path: filter the persisted pre-partitioned view
+            # (narrow — no scan, no shuffle; see _batch_serving_view)
+            view, keys = self._batch_serving_view()
+            per = (
+                view.where(_in_longs("term_id", ids))
+                .groupBy(*keys)
+                .applyInPandas(score_bucket, "query_id int, " + TOPK_SCHEMA)
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            return (
+                per.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .drop("_rn")
             )
 
         cand = self.segments.where(_in_longs("term_id", ids)).select(

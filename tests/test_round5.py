@@ -307,3 +307,88 @@ def test_bm25_filtered_matches_unfiltered_on_full_facet(small_index):
             ).collect()
         ]
         assert got == want, bm
+
+
+# ----------------------------------------------------- batch serving view --
+
+
+@pytest.fixture(scope="module")
+def view_index(spark, tmp_path_factory):
+    """Index with MORE doc buckets than cores so the batch scorer's
+    query-group salting stays off (Q == 1) and the serving view engages
+    — the regime of real corpora (buckets >> executors)."""
+    from gloomy_spark.build import IndexBuilder
+    from gloomy_spark.corpus import pages_df
+    from gloomy_spark.query.engine import SearchIndex
+
+    cfg = EngineConfig(block_size=64, doc_bucket_width=16, shuffle_partitions=8)
+    idx = str(tmp_path_factory.mktemp("r5vidx") / "idx")
+    docs = pages_df(spark, 150, partitions=4).select("doc_id", "text", "url")
+    IndexBuilder(spark, cfg).build(docs, idx, n_buckets=2, url_col="url")
+    return SearchIndex(spark, idx).cache()
+
+
+@pytest.mark.spark
+def test_batch_serving_view_rank_identical(view_index, monkeypatch):
+    """bm25_topk_batch through the persisted pre-partitioned view must be
+    rank-identical to the scan+shuffle path for every query."""
+    si = view_index
+    qs = ["the data merge", "scan filter", "a", "zzz_absent",
+          "merge group table", "a the"]
+
+    def canon(df):
+        return sorted(
+            (int(r["query_id"]), int(r["doc_id"]), round(float(r["score"]), 9))
+            for r in df.collect()
+        )
+
+    monkeypatch.setenv("GLOOMY_SERVING_VIEW", "0")
+    off = canon(si.bm25_topk_batch(qs, 10))
+    monkeypatch.setenv("GLOOMY_SERVING_VIEW", "1")
+    on = canon(si.bm25_topk_batch(qs, 10))
+    assert on == off and len(on) > 0
+
+
+@pytest.mark.spark
+def test_batch_serving_view_no_exchange(view_index, monkeypatch):
+    """The per-batch plan through the view must have NO exchange between
+    the cached scan and the grouped scorer — that shuffle (plus the
+    parquet scan below it) is the fixed per-batch cost the view removes.
+    A constant qgrp column would silently re-insert it (constant-folded
+    out of the cached partitioning), hence the 2-column layout pin."""
+    monkeypatch.setenv("GLOOMY_SERVING_VIEW", "1")
+    df = view_index.bm25_topk_batch(["the data", "a merge"], 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    s = plan.find("FlatMapGroupsInPandas")
+    e = plan.find("InMemoryRelation", s)
+    assert s != -1 and e != -1
+    assert plan[s:e].count("Exchange ") == 0, plan[s:e]
+
+
+@pytest.mark.spark
+def test_view_salts_collision_free(view_index):
+    """The 2-column murmur3 replica must place every doc_bucket in a
+    distinct partition (that is the whole point of the perfect layout)."""
+    from gloomy_spark.query.engine import _spark_hash_bs
+
+    salts = view_index._view_salts()
+    assert salts is not None
+    g, rows = salts
+    slots = [_spark_hash_bs(b, s) % g for b, s in rows]
+    assert len(set(slots)) == len(rows) == g
+
+
+@pytest.mark.spark
+def test_spark_hash_bs_parity(spark):
+    """Driver murmur3 replica == F.hash(bigint, int) for the 2-column
+    serving-view layout, across sign/width edges."""
+    from gloomy_spark.query.engine import _spark_hash_bs
+
+    cases = [(0, 0), (1, 7), (-1, 3), (2**40, 63), (-(2**40), 1),
+             (2**62, 5), (17, 0), (123456789, 42)]
+    df = spark.createDataFrame(cases, "b long, s int").select(
+        F.hash(F.col("b"), F.col("s")).alias("h")
+    )
+    got = [int(r["h"]) for r in df.collect()]
+    want = [_spark_hash_bs(b, s) for b, s in cases]
+    assert got == want
