@@ -123,6 +123,9 @@ def main() -> None:
         lambda: si.boolean_search(["scan", "filter"], (), ["slow"]).count(),
     )
     timed("q_kwic", lambda: si.kwic("data", docs, width=3).count())
+    # head-term KWIC: tracks the tokenize-once plan shape (r5,
+    # BENCH/kwic_ab.json) — per-hit work dominates here, not the join
+    timed("q_kwic_head", lambda: si.kwic("the", docs, width=3).count())
     timed(
         "q_collocations",
         lambda: si.collocations("data", docs, window=3, min_freq=3).count(),
