@@ -674,12 +674,23 @@ class IndexBuilder:
             schema = (
                 POSTINGS_SCHEMA if cfg.store_positions else POSTINGS_SCHEMA_NOPOS
             )
-            (
-                base.select(F.col("doc_id"), term_expr.alias("tokens"))
-                .mapInArrow(_partition_inverter(cfg), schema)
-                .write.mode("overwrite")
-                .parquet(postings_path)
-            )
+            # the inverter wants SMALL doc-row batches (see
+            # EngineConfig.inverter_batch_rows: JVM/python pipelining +
+            # cache-resident sort keys — 3× the stage throughput vs the
+            # build-wide 1M-row setting, which stays in force for the
+            # posting-row writer stage where it was measured to win)
+            _bk = "spark.sql.execution.arrow.maxRecordsPerBatch"
+            _bprev = self.spark.conf.get(_bk)
+            self.spark.conf.set(_bk, str(int(cfg.inverter_batch_rows)))
+            try:
+                (
+                    base.select(F.col("doc_id"), term_expr.alias("tokens"))
+                    .mapInArrow(_partition_inverter(cfg), schema)
+                    .write.mode("overwrite")
+                    .parquet(postings_path)
+                )
+            finally:
+                self.spark.conf.set(_bk, _bprev)
         stages["postings"] = round(time.time() - t0, 2)
         postings = self.spark.read.parquet(postings_path)
 

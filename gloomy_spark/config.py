@@ -46,6 +46,15 @@ class EngineConfig:
     # SPIMI spill-chunk analog (reference: conf-sample.json:13); in Spark this
     # sizes Arrow batches / target rows per build partition
     proc_chunk_size: int = 1_000_000
+    # Arrow batch rows for the INVERTER stage only (doc rows in, heavy
+    # numpy per batch). Small batches pipeline JVM tokenization with
+    # python inversion and keep the sort keys cache-resident; measured at
+    # 300k docs / 4 cores: 1M-row batches 32 s, 30k 18-23 s, 10k 13 s,
+    # 4k 10.3 s, 2k 10.4 s (knee ≈ 4k ≈ 1M tokens at avgdl 240). The
+    # WRITER stage keeps proc_chunk_size-row batches — its input is
+    # posting rows and its python work per batch is O(1), so there big
+    # batches win (the round-2 measurement that set 1M globally).
+    inverter_batch_rows: int = 4096
     # shuffle parallelism used by the build pipeline
     shuffle_partitions: int = 32
 
