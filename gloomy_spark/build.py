@@ -472,10 +472,13 @@ def _segment_writer(cfg: EngineConfig, avgdl: float):
 
         if has_pos:
             # pos_counts == per-posting position counts == tf (every
-            # occurrence carries exactly one position); block position
-            # payloads are contiguous slices of the sorted data buffer
-            cnt_all, cnt_off = varint_encode_with_offsets(tf)
-            pos_counts_arr = slices(cnt_all, cnt_off)
+            # occurrence carries exactly one position), so the tfs
+            # encoding IS the pos_counts encoding — reuse the buffer
+            # instead of re-encoding the same array (one of four bulk
+            # varint passes, ~12% of the writer's python time). Block
+            # position payloads are contiguous slices of the sorted
+            # data buffer.
+            pos_counts_arr = slices(tfs_all, tfs_off)
             positions_arr = pa.Array.from_buffers(
                 pa.binary(),
                 len(b_start),
