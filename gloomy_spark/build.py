@@ -583,9 +583,17 @@ class IndexBuilder:
         #   scheduling waves with a straggler tail. 32 MB keeps every
         #   core fed; at 100 TB the same setting yields ~3M splits, the
         #   normal regime for a 1000-executor cluster.
+        # - arrow.pyspark.enabled: createDataFrame(pandas) feeds the
+        #   terms write and the per-bucket tiling dims; the pickle path
+        #   materializes them as a defaultParallelism-slice python RDD,
+        #   and a coalesce(1) write then pays one python-worker round
+        #   trip PER SLICE sequentially — measured 5.8 s to write a
+        #   31-row terms table vs 0.2 s over Arrow (guide §6 "Arrow for
+        #   driver transfers").
         _scoped = {
             "spark.sql.execution.arrow.maxRecordsPerBatch": "1000000",
             "spark.sql.files.maxPartitionBytes": "33554432",
+            "spark.sql.execution.arrow.pyspark.enabled": "true",
         }
         _prev: dict[str, str | None] = {}
         for _k, _v in _scoped.items():
@@ -686,8 +694,24 @@ class IndexBuilder:
             _bprev = self.spark.conf.get(_bk)
             self.spark.conf.set(_bk, str(int(cfg.inverter_batch_rows)))
             try:
+                # degenerate-input parallelism guard (guide §2.5 "input
+                # skew: one huge unsplittable file"): a corpus stored as a
+                # single parquet row group (or one gzip file) yields ONE
+                # scan partition, serializing tokenize+invert on one core
+                # — measured 7.96 s → the whole stage single-task at
+                # local[32] on the sf1.0 fixture. When the scan has fewer
+                # partitions than the cluster's slots, redistribute the
+                # raw (doc_id, text) rows first: a tiny shuffle of input
+                # bytes unlocks every core AND gives postings_raw enough
+                # files for the downstream dict/segment scans to
+                # parallelize. At scale, input splits >> slots and this
+                # never triggers.
+                src = base.select("doc_id", "text")
+                par = self.spark.sparkContext.defaultParallelism
+                if src.rdd.getNumPartitions() < par:
+                    src = src.repartition(par)
                 (
-                    base.select(F.col("doc_id"), term_expr.alias("tokens"))
+                    src.select(F.col("doc_id"), term_expr.alias("tokens"))
                     .mapInArrow(_partition_inverter(cfg), schema)
                     .write.mode("overwrite")
                     .parquet(postings_path)
@@ -886,8 +910,17 @@ class IndexBuilder:
                 df_arr = bt_pdf["df"].to_numpy(np.int64)
                 cum = np.concatenate(([0], np.cumsum(df_arr)))
                 # ~4 chunks per partition slot: fine chunks bound the
-                # straggler a hash collision of two chunks can create
-                target = max(1, int(-(-int(cum[-1]) // (shuffle_parts * 4))))
+                # straggler a hash collision of two chunks can create.
+                # Floored by segment_chunk_min_postings so chunk count is
+                # data-derived: without the floor a small bucket tiles
+                # into shuffle_parts*4 near-empty chunks, each paying a
+                # full grouped-python task launch (guide §2.2) — measured
+                # 256 tasks for ~0.6M postings/bucket on the sf1.0 bench.
+                target = max(
+                    1,
+                    int(-(-int(cum[-1]) // (shuffle_parts * 4))),
+                    int(cfg.segment_chunk_min_postings),
+                )
                 bt_pdf["pid_base"] = (cum[:-1] // target).astype(np.int32)
                 bt_pdf["n_splits"] = (
                     (cum[1:] - 1) // target - cum[:-1] // target + 1

@@ -57,6 +57,14 @@ class EngineConfig:
     inverter_batch_rows: int = 4096
     # shuffle parallelism used by the build pipeline
     shuffle_partitions: int = 32
+    # floor on postings per segment-writer chunk: the dictionary tiler
+    # targets bucket_postings/(shuffle_partitions*4) postings per chunk,
+    # which for small buckets degenerates into hundreds of near-empty
+    # grouped-python tasks (~90 ms protocol overhead each, guide §2.2
+    # "fewer, larger partitions"). Chunk count therefore derives from
+    # data volume: at 100 TB the slot-based target is far above this
+    # floor and the tiling is unchanged.
+    segment_chunk_min_postings: int = 1 << 18
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=2, default=list)
