@@ -38,7 +38,9 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
@@ -723,22 +725,11 @@ class IndexBuilder:
 
         # ---------------------------------------------------------- docs/
         # doc dimension: url/lang from the corpus, doclen recovered from
-        # postings (docs with zero surviving tokens get doclen 0)
-        if not (resume and store.stage_done("docs")):
-            dls = postings.groupBy("doc_id").agg(F.first("dl").alias("doclen"))
-            (
-                base.select("doc_id", "url", "lang", *attr_cols)
-                .join(dls, "doc_id", "left")
-                .select(
-                    "doc_id", "url", "lang",
-                    F.coalesce("doclen", F.lit(0)).cast("int").alias("doclen"),
-                    *attr_cols,
-                )
-                .write.mode("overwrite")
-                .parquet(store.docs_path)
-            )
-        stages["docs"] = round(time.time() - t0 - sum(stages.values()), 2)
-        docs_stats = self.spark.read.parquet(store.docs_path)
+        # postings (docs with zero surviving tokens get doclen 0).
+        # Runs in a HELPER THREAD concurrently with the dictionary
+        # aggregation below (guide §2.6 "overlap independent jobs"): both
+        # stages read postings_raw and neither depends on the other, so
+        # the docs write's task tail backfills the dict agg's idle slots.
         stat_aggs = [
             F.count("*").alias("n"),
             F.avg("doclen").alias("avgdl"),
@@ -751,7 +742,62 @@ class IndexBuilder:
             # pass over the 8-byte id column makes a ~10⁻⁴-probability
             # silent url merge a LOUD build failure instead
             stat_aggs.append(F.countDistinct("doc_id").alias("n_distinct"))
-        agg = docs_stats.agg(*stat_aggs).collect()[0]
+
+        def _docs_stage():
+            st = time.time()
+            if not (resume and store.stage_done("docs")):
+                dls = postings.groupBy("doc_id").agg(
+                    F.first("dl").alias("doclen")
+                )
+                (
+                    base.select("doc_id", "url", "lang", *attr_cols)
+                    .join(dls, "doc_id", "left")
+                    .select(
+                        "doc_id", "url", "lang",
+                        F.coalesce("doclen", F.lit(0)).cast("int").alias("doclen"),
+                        *attr_cols,
+                    )
+                    .write.mode("overwrite")
+                    .parquet(store.docs_path)
+                )
+            stats_df = self.spark.read.parquet(store.docs_path)
+            row = stats_df.agg(*stat_aggs).collect()[0]
+            return stats_df, row, round(time.time() - st, 2)
+
+        pool = ThreadPoolExecutor(max_workers=2)
+        docs_future = pool.submit(_docs_stage)
+
+        # ---------------------------------------------------------- terms/
+        # dict_pdf: driver-resident (term, term_id, df, cf, idf) when the
+        # vocabulary is driver-sized — reused for segment-shuffle tiling
+        # and bucket metrics so those stages cost zero extra Spark jobs.
+        # The df/cf aggregation + bounded collect run on the MAIN thread
+        # while the docs stage runs in the pool; the idf computation and
+        # the terms write wait below for n_docs from the docs stats.
+        t_terms = time.time()
+        dict_pdf: pd.DataFrame | None = None
+        head = None
+        dict_df = None
+        terms_todo = not (resume and store.stage_done("terms"))
+        if terms_todo:
+            dict_df = postings.groupBy("term").agg(
+                F.count("*").cast("long").alias("df"),
+                F.sum("tf").cast("long").alias("cf"),
+            )
+            if min_term_freq > 1:
+                # reference minNgramFreq HAVING filter (builder.go:199);
+                # postings of dropped terms vanish at the bucket dict-join
+                dict_df = dict_df.where(F.col("cf") >= min_term_freq)
+            # bounded-collect probe: ONE job computes the 40M-row agg AND
+            # fetches the vocab when it is driver-sized (the common case
+            # even for web corpora — vocabularies are millions of terms,
+            # not billions); oversized vocabs take the distributed
+            # zipWithIndex path below
+            head = dict_df.limit(_DRIVER_ID_LIMIT + 1).collect()
+        terms_head_sec = round(time.time() - t_terms, 2)
+
+        docs_stats, agg, docs_sec = docs_future.result()
+        stages["docs"] = docs_sec
         if verify_unique_doc_ids and int(agg["n_distinct"]) != int(agg["n"]):
             raise ValueError(
                 f"doc_id collision: {int(agg['n'])} docs but only "
@@ -772,6 +818,7 @@ class IndexBuilder:
         # Range-partitioned + sorted by term so the isin filter prunes to
         # a few row groups.
         if attr_rollup_cols:
+            ar0 = time.time()
             roll_cols = [c for c in attr_rollup_cols if c in docs_stats.columns]
             if not roll_cols:
                 raise ValueError(
@@ -789,32 +836,12 @@ class IndexBuilder:
                     .write.mode("overwrite")
                     .parquet(store.attr_rollup_path)
                 )
-            stages["attr_rollup"] = round(
-                time.time() - t0 - sum(stages.values()), 2
-            )
+            stages["attr_rollup"] = round(time.time() - ar0, 2)
         min_doc = int(agg["min_doc"]) if agg["min_doc"] is not None else 0
         max_doc = int(agg["max_doc"]) if agg["max_doc"] is not None else 0
 
-        # ---------------------------------------------------------- terms/
-        # dict_pdf: driver-resident (term, term_id, df, cf, idf) when the
-        # vocabulary is driver-sized — reused for segment-shuffle tiling
-        # and bucket metrics so those stages cost zero extra Spark jobs
-        dict_pdf: pd.DataFrame | None = None
-        if not (resume and store.stage_done("terms")):
-            dict_df = postings.groupBy("term").agg(
-                F.count("*").cast("long").alias("df"),
-                F.sum("tf").cast("long").alias("cf"),
-            )
-            if min_term_freq > 1:
-                # reference minNgramFreq HAVING filter (builder.go:199);
-                # postings of dropped terms vanish at the bucket dict-join
-                dict_df = dict_df.where(F.col("cf") >= min_term_freq)
-            # bounded-collect probe: ONE job computes the 40M-row agg AND
-            # fetches the vocab when it is driver-sized (the common case
-            # even for web corpora — vocabularies are millions of terms,
-            # not billions); oversized vocabs take the distributed
-            # zipWithIndex path below
-            head = dict_df.limit(_DRIVER_ID_LIMIT + 1).collect()
+        t_terms2 = time.time()
+        if terms_todo:
             if len(head) <= _DRIVER_ID_LIMIT:
                 dict_pdf = pd.DataFrame(
                     {
@@ -862,20 +889,19 @@ class IndexBuilder:
                         dep.unpersist()
         terms = self.spark.read.parquet(store.terms_path)
         n_terms = len(dict_pdf) if dict_pdf is not None else terms.count()
-        stages["terms"] = round(time.time() - t0 - sum(stages.values()), 2)
+        stages["terms"] = round(
+            terms_head_sec + (time.time() - t_terms2), 2
+        )
 
         # ------------------------------------------------ segments/bucket=K
         width = max(1, math.ceil(n_terms / n_buckets))
         done = store.completed_buckets() if resume else {}
         writer = _segment_writer(cfg, avgdl)
         total_postings = 0
-        for k in range(n_buckets):
-            lo, hi = k * width, min((k + 1) * width, n_terms)
-            if lo >= n_terms:
-                break
-            if k in done and os.path.exists(store.bucket_dir(k)):
-                total_postings += done[k].n_postings
-                continue
+        t_segs = time.time()
+        ledger_lock = threading.Lock()
+
+        def _bucket_job(k: int, lo: int, hi: int) -> int:
             bt0 = time.time()
             bt_pdf = None
             pos_cols = ["positions"] if "positions" in postings.columns else []
@@ -967,9 +993,7 @@ class IndexBuilder:
                     .mapInArrow(writer, SEGMENT_SCHEMA)
                 )
             segs.write.mode("overwrite").parquet(store.bucket_dir(k))
-            stages[f"segments_write_{k}"] = round(
-                time.time() - t0 - sum(stages.values()), 2
-            )
+            stages[f"segments_write_{k}"] = round(time.time() - bt0, 2)
             # bucket metrics without re-scanning payload bytes: the
             # dictionary slice already states n_terms and n_postings
             # (sum df) exactly, block count comes from parquet footers
@@ -999,26 +1023,52 @@ class IndexBuilder:
                 m_nt, m_nb, m_np = int(m["nt"]), int(m["nb"]), int(m["np"] or 0)
             bucket_bytes = sum(os.stat(f).st_size for f in pq_files)
             elapsed = time.time() - bt0
-            store.append_bucket(
-                BucketRecord(
-                    bucket=k,
-                    term_id_lo=lo,
-                    term_id_hi=hi,
-                    n_terms=m_nt,
-                    n_blocks=m_nb,
-                    n_postings=m_np,
-                    bytes_payload=bucket_bytes,
-                    elapsed_sec=elapsed,
-                    terms_per_sec=(m_nt / elapsed if elapsed > 0 else 0.0),
-                    postings_per_sec=(m_np / elapsed if elapsed > 0 else 0.0),
-                    input_snapshot=input_snapshot,
+            # the resume ledger is an append-only file shared by all
+            # concurrently-built buckets — serialize the appends
+            with ledger_lock:
+                store.append_bucket(
+                    BucketRecord(
+                        bucket=k,
+                        term_id_lo=lo,
+                        term_id_hi=hi,
+                        n_terms=m_nt,
+                        n_blocks=m_nb,
+                        n_postings=m_np,
+                        bytes_payload=bucket_bytes,
+                        elapsed_sec=elapsed,
+                        terms_per_sec=(m_nt / elapsed if elapsed > 0 else 0.0),
+                        postings_per_sec=(m_np / elapsed if elapsed > 0 else 0.0),
+                        input_snapshot=input_snapshot,
+                    )
                 )
-            )
-            total_postings += m_np
-            if fail_after_bucket is not None and k >= fail_after_bucket:
-                raise RuntimeError(f"injected failure after bucket {k}")
+            return m_np
 
-        stages["segments"] = round(time.time() - t0 - sum(stages.values()), 2)
+        # buckets are independent jobs (disjoint term ranges, each
+        # committing its own dir + ledger line): run 2 in flight so one
+        # bucket's straggler/commit tail backfills the other's map stage
+        # (guide §2.6). The fail-injection test hook forces the
+        # sequential path so "only buckets ≤ k committed" stays exact.
+        pending: list[tuple[int, object]] = []
+        try:
+            for k in range(n_buckets):
+                lo, hi = k * width, min((k + 1) * width, n_terms)
+                if lo >= n_terms:
+                    break
+                if k in done and os.path.exists(store.bucket_dir(k)):
+                    total_postings += done[k].n_postings
+                    continue
+                if fail_after_bucket is not None:
+                    total_postings += _bucket_job(k, lo, hi)
+                    if k >= fail_after_bucket:
+                        raise RuntimeError(f"injected failure after bucket {k}")
+                else:
+                    pending.append((k, pool.submit(_bucket_job, k, lo, hi)))
+            for _k, fut in pending:
+                total_postings += fut.result()
+        finally:
+            pool.shutdown(wait=True)
+
+        stages["segments"] = round(time.time() - t_segs, 2)
         build_seconds = time.time() - t0
         manifest = Manifest(
             n_docs=n_docs,

@@ -69,6 +69,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, redistributed to the cluster's slot count when
+    the parquet layout is unsplittable (a single row group yields ONE
+    scan partition, serializing every tokenize/regex pass on one core —
+    guide §2.5 "input skew"). Used by the corpus-pass operators; a no-op
+    when the scan already has enough splits."""
+    from .session import ensure_min_partitions
+
+    return ensure_min_partitions(_docs(spark, sf_dir))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -119,7 +130,7 @@ def _index_for(spark: SparkSession, sf_dir: str, ngram_size: int = 1):
 
 def q_ngram_counts(n: int, min_freq: int):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _docs(spark, sf_dir)
+        docs = _docs_par(spark, sf_dir)
         return (
             docs.select(F.explode(ngrams_col(F.col("text"), n, CFG)).alias("term"))
             .groupBy("term")
@@ -164,33 +175,70 @@ FROM scores ORDER BY round(score, 4) DESC, doc_id LIMIT {k}"""
 
 
 def q_bm25_df(query: str, k: int):
-    """Pure-DataFrame BM25 (no prebuilt index): the Catalyst-only path."""
+    """Pure-DataFrame BM25 (no prebuilt index): the Catalyst-only path.
+
+    Two corpus passes total (guide §1.2 — the r5 shape paid four):
+
+    1. one scan aggregates n_docs AND avgdl from size(tokens) directly —
+       no explode, no shuffle (avg over docs with ≥1 token equals the
+       old explode+groupBy(doc).count() average exactly: integer token
+       counts sum exactly in doubles);
+    2. one tokenize→filter(qterms)→tf pass, locally checkpointed, then
+       reused for both per-term df (a tiny collect) and scoring — idf
+       becomes a constant-folded JVM literal expression (identical
+       Math.log bits to the old join-computed column), so the broadcast
+       dfreq join and its extra corpus pass disappear.
+    """
     from .textnorm import tokenize
 
     qterms = list(dict.fromkeys(tokenize(query, CFG)))
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _docs(spark, sf_dir)
-        toks = docs.select(
+        docs = _docs_par(spark, sf_dir)
+        toks_arr = docs.select(
+            "doc_id", tokens_col(F.col("text"), CFG).alias("_toks")
+        )
+        stats = toks_arr.agg(
+            F.count("*").alias("n"),
+            F.avg(F.when(F.size("_toks") > 0, F.size("_toks"))).alias("avgdl"),
+        ).collect()[0]
+        n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+        # dl is computed in the SAME projection as _toks (codegen CSE
+        # evaluates the tokenizer once); the explode then carries only
+        # (doc_id, dl), not the token array, through the Generate
+        toks = toks_arr.select(
             "doc_id",
-            F.size(tokens_col(F.col("text"), CFG)).alias("dl"),
-            F.explode(tokens_col(F.col("text"), CFG)).alias("term"),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
         )
-        tf = toks.groupBy("term", "doc_id").agg(
-            F.count("*").alias("tf"), F.first("dl").alias("dl")
+        tf = (
+            toks.where(F.col("term").isin(qterms))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+            .localCheckpoint(eager=True)
         )
-        n_docs = docs.count()
-        dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-        avgdl = toks.groupBy("doc_id").count().agg(F.avg("count")).collect()[0][0]
-        idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        scored = (
-            tf.where(F.col("term").isin(qterms))
-            .join(F.broadcast(dfreq.where(F.col("term").isin(qterms))), "term")
-            .withColumn(
-                "contrib",
-                idf * F.col("tf") * (K1 + 1.0)
-                / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl)))),
+        dfreq = {
+            r["term"]: int(r["df"])
+            for r in tf.groupBy("term").agg(F.count("*").alias("df")).collect()
+        }
+        # per-term idf as literal expressions: Catalyst constant-folds
+        # log(1 + (n - df + 0.5)/(df + 0.5)) in the JVM, so the folded
+        # double is bit-identical to the old per-row computation
+        idf_entries = []
+        for t, dfv in dfreq.items():
+            idf_entries.append(F.lit(t))
+            idf_entries.append(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.lit(dfv) + 0.5)
+                    / (F.lit(dfv) + 0.5)
+                )
             )
+        idf = F.create_map(*idf_entries)[F.col("term")] if idf_entries else F.lit(None).cast("double")
+        scored = tf.withColumn(
+            "contrib",
+            idf * F.col("tf") * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl)))),
         )
         return (
             scored.groupBy("doc_id")
@@ -334,7 +382,7 @@ def q_bm25_batch(queries: list[str], k: int):
 
 def q_term_dictionary():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _docs(spark, sf_dir)
+        docs = _docs_par(spark, sf_dir)
         toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"), CFG)).alias("term"))
         tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
         n_docs = docs.count()
@@ -357,7 +405,7 @@ FROM tf GROUP BY term"""
 
 def q_doc_stats():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _docs(spark, sf_dir).select(
+        return _docs_par(spark, sf_dir).select(
             "doc_id", F.size(tokens_col(F.col("text"), CFG)).alias("doclen")
         )
 
@@ -372,7 +420,7 @@ SELECT doc_id, len(toks) AS doclen FROM base"""
 
 def q_postings_df(term: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _docs(spark, sf_dir)
+        docs = _docs_par(spark, sf_dir)
         toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"), CFG)).alias("term"))
         return (
             toks.where(F.col("term") == term)
@@ -397,7 +445,7 @@ def q_postings_indexed(term: str):
 
 def q_term_positions(term: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _docs(spark, sf_dir)
+        docs = _docs_par(spark, sf_dir)
         toks = docs.select(
             "doc_id", F.posexplode(tokens_col(F.col("text"), CFG)).alias("pos", "term")
         )
@@ -1346,7 +1394,7 @@ FROM base b LEFT JOIN minsh ON b.doc_id = minsh.doc_id"""
 
 def q_media_features():
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        media = multimodal.media_table(_docs(spark, sf_dir))
+        media = multimodal.media_table(_docs_par(spark, sf_dir))
         feats = multimodal.extract_features(media)
         return feats.select(
             "doc_id",
@@ -1373,7 +1421,7 @@ def q_frame_sample():
     generate_series over md5(text)."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        media = multimodal.media_table(_docs(spark, sf_dir))
+        media = multimodal.media_table(_docs_par(spark, sf_dir))
         return multimodal.frame_sample(media)
 
     sql = """WITH m AS (

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import ensure_min_partitions
 from ..textnorm import FULL_SPLIT_PATTERN
 from .hashing import M31, hash_params, md5_long, universal_hash
 
@@ -72,6 +73,41 @@ def dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # --------------------------------------------------------------- minhash --
 
 
+def _shingle_table(
+    docs: DataFrame, shingle_k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, sh) distinct-shingle rows — the shared upstream of every
+    minhash/jaccard operator. Redistributes a degenerate input scan first
+    (guide §2.5): shingling is the corpus-pass cost, so an unsplittable
+    single-row-group corpus must not serialize it on one core."""
+    return ensure_min_partitions(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_k))).alias("sh"),
+    )
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Shingle rows → (doc_id, mh_0..mh_{H-1}) signature columns.
+
+    One md5 per shingle → H affine universal hashes (cheap int ops, not
+    H md5s) → groupBy(doc).min per hash. Min-aggregation has full
+    map-side partial combine, so a doc's shingle count never
+    concentrates on one task. The md5 base is materialized in its own
+    projection so the H hash expressions share ONE md5 evaluation."""
+    params = hash_params(num_hashes)
+    based = sh.select("doc_id", (md5_long(F.col("sh")) % F.lit(M31)).alias("bm"))
+    hashed = based.select(
+        "doc_id",
+        *[
+            universal_hash(F.col("bm"), i, params).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 24,
@@ -79,24 +115,9 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, mh_0..mh_{H-1}) minhash signature columns.
-
-    Plan: explode distinct shingles → one md5 per shingle → H affine
-    universal hashes (cheap int ops, not H md5s) → groupBy(doc).min per
-    hash. Min-aggregation has full map-side partial combine, so a doc's
-    shingle count never concentrates on one task."""
-    params = hash_params(num_hashes)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_k))).alias("sh"),
-    )
-    base_mod = md5_long(F.col("sh")) % F.lit(M31)
-    hashed = sh.select(
-        "doc_id",
-        *[universal_hash(base_mod, i, params).alias(f"h{i}") for i in range(num_hashes)],
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"mh_{i}") for i in range(num_hashes)]
+    """(doc_id, mh_0..mh_{H-1}) minhash signature columns."""
+    return _signatures_from_shingles(
+        _shingle_table(docs, shingle_k, text_col, id_col), num_hashes
     )
 
 
@@ -109,6 +130,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     max_bucket: int | None = 256,
     log_capped: bool = False,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b): docs sharing ≥1 identical band.
 
@@ -125,7 +147,9 @@ def minhash_lsh_pairs(
     buckets/rows the cap actually truncated (skew.capped_bucket_stats),
     so recall loss is a visible metric rather than a silent default."""
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, shingle_k, text_col, id_col)
+    if _shingles is None:
+        _shingles = _shingle_table(docs, shingle_k, text_col, id_col)
+    sig = _signatures_from_shingles(_shingles, num_hashes)
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),
@@ -151,6 +175,16 @@ def minhash_lsh_pairs(
                 stats["n_rows_dropped"],
             )
         banded = cap_buckets(banded, ["band", "key"], max_bucket)
+    # materialize before the self-join: Spark does not deduplicate
+    # common subtrees, so without this both join sides re-run the whole
+    # corpus-pass shingle → md5 → 24-hash → min-agg pipeline (guide §1.2
+    # "don't compute things twice"). LAZY: the join's two map stages run
+    # concurrently, so in the worst case each computes the pipeline once
+    # (exactly the un-checkpointed cost, overlapped on idle cores) and
+    # every later stage reads the persisted copy; an eager checkpoint
+    # would serialize a full materialization job in front of the join —
+    # measured slower on the bench (4.8 s lazy vs 7.3 s eager).
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -175,19 +209,26 @@ SIMHASH_BITS = 60  # stays positive in int64 for both engines
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash): 60-bit simhash over token md5s weighted by tf.
     One explode + one groupBy with 60 conditional-sum aggregates — all
-    JVM-side, partial-agg friendly."""
-    toks = docs.select(
+    JVM-side, partial-agg friendly. The (doc, token) tf aggregation stays
+    deliberately: a per-occurrence ±1 sum would be algebraically equal
+    but feeds ~10× the rows into the 60-accumulator aggregate (measured
+    2.0 s → 8.1 s on the sf1.0 bench — the tf stage is cheap row
+    REDUCTION before the wide aggregate). The token hash is materialized
+    in its own projection so the 60 aggregate expressions share one md5
+    per row instead of one per bit."""
+    toks = ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_plain_tokens(F.col(text_col))).alias("tok"),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    h = md5_long(F.col("tok"))
-    bit_sums = tf.groupBy("doc_id").agg(
+    hb = tf.select("doc_id", "tf", md5_long(F.col("tok")).alias("h"))
+    bit_sums = hb.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                    -F.col("tf")
-                )
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.col("tf"),
+                ).otherwise(-F.col("tf"))
             ).alias(f"s{j}")
             for j in range(SIMHASH_BITS)
         ]
@@ -226,6 +267,9 @@ def simhash_near_pairs(
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    # materialize once before the self-join — otherwise both sides re-run
+    # the full simhash pipeline (explode + tf + 60-bit agg) over the corpus
+    chunks = chunks.localCheckpoint(eager=False)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
@@ -266,13 +310,17 @@ def lsh_jaccard_pipeline(
     operator for small inputs. Bucket capping (and its observability via
     log_capped) is inherited from minhash_lsh_pairs (default-on; see its
     docstring)."""
+    # ONE shingle pass feeds candidate generation AND the rerank: the
+    # shingle table is the corpus-pass cost and is referenced four times
+    # downstream (signatures, sizes, both intersection sides), so it is
+    # locally checkpointed — without it each reference re-tokenizes and
+    # re-shingles the whole corpus (guide §1.2).
+    sh = _shingle_table(docs, shingle_k, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     cand = minhash_lsh_pairs(
         docs, num_hashes, bands, shingle_k, text_col, id_col,
-        max_bucket=max_bucket, log_capped=log_capped,
-    )
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_k))).alias("sh"),
+        max_bucket=max_bucket, log_capped=log_capped, _shingles=sh,
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -392,9 +440,10 @@ def jaccard_pairs(
     via per-doc distinct counts, jaccard = |∩| / (|A|+|B|-|∩|).
     At 100 TB this runs AFTER minhash-LSH candidate pruning; standalone
     form here is the exact oracle-checkable operator."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), shingle_k))).alias("sh"),
+    # one shingle pass shared by sizes + both self-join sides (see
+    # lsh_jaccard_pipeline)
+    sh = _shingle_table(docs, shingle_k, text_col, id_col).localCheckpoint(
+        eager=False
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")

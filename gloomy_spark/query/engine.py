@@ -195,6 +195,38 @@ def _bucket_scorer(p: _Bm25Params):
     return score
 
 
+def _partition_scorer(p: _Bm25Params):
+    """mapInArrow scorer: one hash-partitioned task scores MANY doc
+    buckets in a single python call. The groupBy().applyInPandas shape
+    paid a Sort below its exchange plus one grouped-protocol round trip
+    per bucket (~100 buckets/query on the bench index — measured ~0.7 s
+    of a 0.85 s single-query job in that stage); here the same rows
+    arrive as one Arrow stream per task and bucket grouping is a pandas
+    groupby (guide §4.2). Per-bucket numerics are EXACTLY
+    _bucket_scorer's — same decode, same sweep, same heap — so scores
+    are bit-identical."""
+    score = _bucket_scorer(p)
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
+            return
+        pdf = pa.Table.from_batches(bl).to_pandas()
+        outs = []
+        for _, g in pdf.groupby("doc_bucket", sort=False):
+            r = score(g)
+            if len(r):
+                outs.append(r)
+        if not outs:
+            return
+        out = pd.concat(outs, ignore_index=True)
+        yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return run
+
+
 def _exhaustive_topk(n_blocks: int, decode_block, k: int) -> pd.DataFrame:
     """Brute-force DAAT: decode everything, scatter-add, top-k."""
     all_d = []
@@ -378,6 +410,10 @@ class SearchIndex:
     # (index.go:502-504); our analog is a driver/broadcast term map, only
     # viable while the vocabulary fits comfortably on the driver
     _TERM_MAP_LIMIT = 5_000_000
+    # floor on (estimated) postings per scorer task — sizes the scorer
+    # shuffle from the query's dictionary-known posting volume instead of
+    # a fixed partition count (see bm25_topk)
+    _SCORER_MIN_POSTINGS = 16384
 
     def cache(self) -> "SearchIndex":
         self.terms.cache().count()
@@ -1046,6 +1082,7 @@ class SearchIndex:
             k=k,
             use_blockmax=use_blockmax,
         )
+        est_postings: int | None = None
         if self._term_map is not None:
             # cached-dictionary fast path: term lookup on the driver, idf
             # attached as a literal map — no terms scan in the query plan
@@ -1056,6 +1093,7 @@ class SearchIndex:
             ]
             if not toks:
                 return self.spark.createDataFrame([], TOPK_SCHEMA)
+            est_postings = sum(self._term_df.get(t, 0) for t in toks)
             ids = [self._term_map[t][0] for t in toks]
             idf_map = F.create_map(
                 *[F.lit(x) for t in toks for x in self._term_map[t]]
@@ -1083,8 +1121,26 @@ class SearchIndex:
                 "doc_bucket", "first_doc", "last_doc", "n_docs", "max_score",
                 "docs", "tfs", "dls", "idf",
             )
-        per_bucket = cand.groupBy("doc_bucket").applyInPandas(
-            _bucket_scorer(p), TOPK_SCHEMA
+        # hash-repartition by doc_bucket + mapInArrow instead of
+        # groupBy().applyInPandas: same co-location guarantee (all of a
+        # bucket's blocks land in one task), no Sort operator, one python
+        # round trip per TASK instead of per bucket. Partition count is
+        # DATA-derived (guide §2.2): the dictionary states the query's
+        # posting volume up front, so tiny queries run 1-2 python tasks
+        # while head queries fan out to the full shuffle width — a fixed
+        # count of near-empty python tasks cost ~0.45 s/query at 64
+        # partitions vs ~0.25 s at the derived width on the bench index.
+        nb = self._n_doc_buckets
+        sp = int(self.cfg.shuffle_partitions)
+        cap = max(1, min(sp, nb)) if nb else sp
+        if est_postings:
+            n_parts = max(
+                1, min(cap, -(-est_postings // self._SCORER_MIN_POSTINGS))
+            )
+        else:
+            n_parts = cap
+        per_bucket = cand.repartition(n_parts, "doc_bucket").mapInArrow(
+            _partition_scorer(p), TOPK_SCHEMA
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -39,6 +39,20 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def ensure_min_partitions(df):
+    """Redistribute a DataFrame to the cluster's slot count when its scan
+    yields fewer partitions (guide §2.5 "input skew: one huge unsplittable
+    file"). A corpus stored as a single parquet row group (or one gzip
+    file) cannot be split by the reader, serializing every downstream
+    tokenize/hash stage on one core; a tiny round-robin shuffle of the
+    input rows unlocks the cluster. At scale, input splits >> slots and
+    this is a no-op (no exchange added to the plan)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def build_zip() -> str:
     """Write gloomy_spark.zip for external `spark-submit --py-files` use."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
