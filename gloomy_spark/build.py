@@ -764,7 +764,17 @@ class IndexBuilder:
             row = stats_df.agg(*stat_aggs).collect()[0]
             return stats_df, row, round(time.time() - st, 2)
 
-        pool = ThreadPoolExecutor(max_workers=2)
+        # stage-overlap pool: the docs stage always overlaps the
+        # dictionary aggregation (pool thread + main thread). Segment
+        # BUCKETS default to sequential: an interleaved A/B on the bench
+        # corpora measured 2-in-flight buckets a wash on the small build
+        # and a consistent loss with heavy outliers on the 4M-posting one
+        # (medians 15.1 s vs 8.5 s — two concurrent python-heavy writer
+        # jobs thrash the worker pool at local core counts). On a real
+        # cluster with long bucket tails, raise GLOOMY_BUILD_CONCURRENCY
+        # to overlap them (guide §2.6).
+        n_conc = max(1, int(os.environ.get("GLOOMY_BUILD_CONCURRENCY", "1")))
+        pool = ThreadPoolExecutor(max_workers=n_conc)
         docs_future = pool.submit(_docs_stage)
 
         # ---------------------------------------------------------- terms/

@@ -401,8 +401,18 @@ class SearchIndex:
             open(f"{index_dir}/config.json").read()
         )
         self.terms = spark.read.parquet(self.store.terms_path)
-        self.segments = spark.read.parquet(
-            f"{self.store.segments_path}/bucket=*"
+        from ..session import ensure_min_partitions
+
+        # a small index writes few (large) segment files since the r6
+        # chunk-size floor, which would serialize the decode paths
+        # (postings/kwic/boolean) on a handful of tasks; redistribute to
+        # the cluster's slots when the scan is that narrow. Term filters
+        # still push into the parquet scan BELOW the added exchange, and
+        # at scale (files >> slots) this is a no-op. Measured on the
+        # bench index: head-term kwic 1.2-1.8 s -> 0.7 s, postings decode
+        # 0.6 -> 0.5 s.
+        self.segments = ensure_min_partitions(
+            spark.read.parquet(f"{self.store.segments_path}/bucket=*")
         )
         self.docs = spark.read.parquet(self.store.docs_path)
 
