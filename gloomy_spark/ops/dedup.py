@@ -321,10 +321,22 @@ def lsh_jaccard_pipeline(
     cand = minhash_lsh_pairs(
         docs, num_hashes, bands, shingle_k, text_col, id_col,
         max_bucket=max_bucket, log_capped=log_capped, _shingles=sh,
-    )
+    ).localCheckpoint(eager=False)  # referenced 3× below (two semi filters + the join)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    # semi-join pre-filter (guide §3.2): only CANDIDATE docs' shingles
+    # matter to the intersection, and candidates are a tiny fraction of
+    # the corpus — without the filter the (doc_b, sh) join drags the
+    # FULL shingle table through a sort-merge exchange. Inner joins
+    # against cand downstream restrict to the same docs, so results are
+    # unchanged.
+    sh_a = sh.join(
+        cand.select(F.col("doc_a").alias("doc_id")).distinct(),
+        "doc_id", "leftsemi",
+    ).select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.join(
+        cand.select(F.col("doc_b").alias("doc_id")).distinct(),
+        "doc_id", "leftsemi",
+    ).select(F.col("doc_id").alias("doc_b"), "sh")
     common = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "sh"])
