@@ -195,6 +195,34 @@ def _bucket_scorer(p: _Bm25Params):
     return score
 
 
+def _per_bucket_arrow(fn, arrow_schema):
+    """mapInArrow wrapper running a per-bucket pandas function over every
+    doc_bucket group in the task's partition (see _partition_scorer for
+    why: one python round trip per TASK, no Sort operator, vs one per
+    bucket under groupBy().applyInPandas)."""
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        bl = [b for b in batches if b.num_rows]
+        if not bl:
+            return
+        pdf = pa.Table.from_batches(bl).to_pandas()
+        outs = []
+        for _, g in pdf.groupby("doc_bucket", sort=False):
+            r = fn(g)
+            if len(r):
+                outs.append(r)
+        if not outs:
+            return
+        out = pd.concat(outs, ignore_index=True)
+        yield pa.RecordBatch.from_pandas(
+            out, schema=arrow_schema, preserve_index=False
+        )
+
+    return run
+
+
 def _partition_scorer(p: _Bm25Params):
     """mapInArrow scorer: one hash-partitioned task scores MANY doc
     buckets in a single python call. The groupBy().applyInPandas shape
@@ -424,6 +452,20 @@ class SearchIndex:
     # shuffle from the query's dictionary-known posting volume instead of
     # a fixed partition count (see bm25_topk)
     _SCORER_MIN_POSTINGS = 16384
+
+    def _scorer_parts(self, est_postings: int | None) -> int:
+        """Partition count for a per-bucket python scorer shuffle:
+        data-derived from the query's posting volume when the dictionary
+        is driver-resident (guide §2.2 — near-empty python tasks cost
+        ~90 ms each), capped by bucket count and shuffle width."""
+        nb = self._n_doc_buckets
+        sp = int(self.cfg.shuffle_partitions)
+        cap = max(1, min(sp, nb)) if nb else sp
+        if est_postings:
+            return max(
+                1, min(cap, -(-est_postings // self._SCORER_MIN_POSTINGS))
+            )
+        return cap
 
     def cache(self) -> "SearchIndex":
         self.terms.cache().count()
@@ -912,8 +954,23 @@ class SearchIndex:
                 res["positions"] = pd.Series(out_pos, dtype=object)
             return res
 
-        # doc_buckets are disjoint doc ranges → no cross-bucket duplicates
-        return segs.groupBy("doc_bucket").applyInPandas(match, schema)
+        # doc_buckets are disjoint doc ranges → no cross-bucket duplicates.
+        # Same repartition+mapInArrow shape as bm25_topk (no Sort, one
+        # python round trip per task, width derived from the phrase
+        # terms' dictionary-known posting volume).
+        import pyarrow as pa
+
+        est = (
+            sum(self._term_df.get(t, 0) for t in terms)
+            if self._term_map is not None
+            else None
+        )
+        fields = [pa.field("doc_id", pa.int64())]
+        if with_positions:
+            fields.append(pa.field("positions", pa.list_(pa.int32())))
+        return segs.repartition(self._scorer_parts(est), "doc_bucket").mapInArrow(
+            _per_bucket_arrow(match, pa.schema(fields)), schema
+        )
 
     def kwic(self, query: str, docs: DataFrame, width: int = 3) -> DataFrame:
         """Keyword-in-context concordance: every occurrence of ``query``
@@ -1140,18 +1197,9 @@ class SearchIndex:
         # while head queries fan out to the full shuffle width — a fixed
         # count of near-empty python tasks cost ~0.45 s/query at 64
         # partitions vs ~0.25 s at the derived width on the bench index.
-        nb = self._n_doc_buckets
-        sp = int(self.cfg.shuffle_partitions)
-        cap = max(1, min(sp, nb)) if nb else sp
-        if est_postings:
-            n_parts = max(
-                1, min(cap, -(-est_postings // self._SCORER_MIN_POSTINGS))
-            )
-        else:
-            n_parts = cap
-        per_bucket = cand.repartition(n_parts, "doc_bucket").mapInArrow(
-            _partition_scorer(p), TOPK_SCHEMA
-        )
+        per_bucket = cand.repartition(
+            self._scorer_parts(est_postings), "doc_bucket"
+        ).mapInArrow(_partition_scorer(p), TOPK_SCHEMA)
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # facet-aware block-max (r4 verdict next #4): inside a bucket the

@@ -161,7 +161,9 @@ def test_phrase_match_plan_has_no_explode(small_index):
     df = small_index.phrase_match("of the")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan, plan
-    assert "FlatMapGroupsInPandas" in plan
+    # r6: the bucketed matcher runs as repartition+MapInArrow (one python
+    # round trip per task; no Sort) instead of FlatMapGroupsInPandas
+    assert "MapInArrow" in plan, plan
 
 
 @pytest.mark.spark
