@@ -632,12 +632,18 @@ class SearchIndex:
         # term in the requested page (no rollup covering it) can carry
         # O(corpus) postings, which must NOT be broadcast. df is free from
         # the dictionary, so guard on it and fall back to a shuffle join.
-        total_df = sum(
-            int(r["df"])
-            for r in self.terms.where(_in_strings("term", lowered))
-            .select("df")
-            .collect()
-        )
+        # Served from the driver-resident term map when loaded (r5 ADVICE:
+        # the guard was a blocking terms-scan collect on EVERY no-rollup
+        # request, even tail-term pages); the Spark job is the fallback.
+        if self._term_map is not None:
+            total_df = sum(self._term_df.get(t, 0) for t in lowered)
+        else:
+            total_df = sum(
+                int(r["df"])
+                for r in self.terms.where(_in_strings("term", lowered))
+                .select("df")
+                .collect()
+            )
         if total_df <= self._ATTR_COUNT_BROADCAST_MAX_DF:
             posts = F.broadcast(posts)
         return (
