@@ -983,7 +983,13 @@ class SearchIndex:
         fields = [pa.field("doc_id", pa.int64())]
         if with_positions:
             fields.append(pa.field("positions", pa.list_(pa.int32())))
-        return segs.repartition(self._scorer_parts(est), "doc_bucket").mapInArrow(
+        n_parts = self._scorer_parts(est)
+        segs = (
+            segs.coalesce(1)  # one task holds every bucket — no exchange
+            if n_parts == 1
+            else segs.repartition(n_parts, "doc_bucket")
+        )
+        return segs.mapInArrow(
             _per_bucket_arrow(match, pa.schema(fields)), schema
         )
 
@@ -1212,9 +1218,19 @@ class SearchIndex:
         # while head queries fan out to the full shuffle width — a fixed
         # count of near-empty python tasks cost ~0.45 s/query at 64
         # partitions vs ~0.25 s at the derived width on the bench index.
-        per_bucket = cand.repartition(
-            self._scorer_parts(est_postings), "doc_bucket"
-        ).mapInArrow(_partition_scorer(p, idf_by_tid), TOPK_SCHEMA)
+        n_parts = self._scorer_parts(est_postings)
+        # n_parts == 1 trivially co-locates every bucket in the one task,
+        # so a narrow coalesce replaces the exchange outright (guide §2.4
+        # "remove shuffles") — repartition(1) would still shuffle-write
+        # and -read every candidate block.
+        cand = (
+            cand.coalesce(1)
+            if n_parts == 1
+            else cand.repartition(n_parts, "doc_bucket")
+        )
+        per_bucket = cand.mapInArrow(
+            _partition_scorer(p, idf_by_tid), TOPK_SCHEMA
+        )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # facet-aware block-max (r4 verdict next #4): inside a bucket the
